@@ -1,0 +1,335 @@
+"""The MCMC / simulated-annealing sampler: one fully on-device step.
+
+Reference control flow (step_max_likelihood, cuda_lib_gl.py:1793-1980):
+per fragment fA, sample <=delta neighbours from a contacts^3-weighted
+distribution, build 13 candidate genomes per neighbour, score each with the
+Poisson likelihood, filter/temper/sample a score slot, commit the winner.
+The reference round-trips to the host for every decision and launches
+13 x neighbours kernels per step; here the complete step — neighbour
+sampling, candidate construction, scoring, categorical selection, commit —
+is a single jitted function, and a whole EM cycle over all fragments is one
+``lax.scan``. Candidate scores are *absolute* log-likelihoods (the
+reference's score = DeltaL + L_t, cuda_lib_gl.py:2544-2545 — identical by
+construction), so no incremental bookkeeping is needed.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graal_tpu.core.candidates import N_CANDIDATES, build_candidates
+from graal_tpu.core.likelihood import log_likelihood
+from graal_tpu.core.model import RippeParams, rippe_contacts
+from graal_tpu.core.state import GenomeState
+from graal_tpu.core.subfrags import SubFragTable
+
+# Score window below the best candidate kept for sampling
+# (thresh_overflow, cuda_lib_gl.py:1917).
+THRESH_OVERFLOW = 30.0
+
+
+class NeighbourTable(NamedTuple):
+    """Static proposal-distribution tables.
+
+    Built from the bin-level contact matrix: per bin, the ``n_neighbors``
+    strongest contact partners with probability proportional to contacts^3
+    (setup_distri_frags, cuda_lib_gl.py:2363-2390), plus the bin -> copy
+    dispatcher for repeat expansion (return_neighbours :2295-2331).
+    """
+
+    xk: jnp.ndarray          # (n_bins, n_top) int32 candidate partner bins
+    pk: jnp.ndarray          # (n_bins, n_top) float32 probabilities
+    dispatcher: jnp.ndarray  # (n_bins, max_copies) int32 copy ids, -1 padded
+    blacklist: jnp.ndarray   # (n_frags,) bool
+    n_bins: int
+    max_copies: int
+
+
+def build_neighbour_table(bin_matrix, id_d, n_frags, blacklisted=(),
+                          n_top=10, fact=3.0) -> NeighbourTable:
+    """Host-side construction of the proposal tables."""
+    m = np.array(bin_matrix, np.float32)
+    np.fill_diagonal(m, 0.0)
+    n_bins = m.shape[0]
+    xk = np.zeros((n_bins, n_top), np.int32)
+    pk = np.zeros((n_bins, n_top), np.float32)
+    for i in range(n_bins):
+        order = np.argsort(m[i])[::-1][:n_top]
+        xk[i] = order
+        dat = m[i, order] ** fact
+        tot = dat.sum()
+        pk[i] = dat / tot if tot > 0 else np.full(n_top, 1.0 / n_top, np.float32)
+
+    id_d = np.asarray(id_d)
+    copies = [np.nonzero(id_d == b)[0] for b in range(n_bins)]
+    max_copies = max(len(c) for c in copies)
+    dispatcher = np.full((n_bins, max_copies), -1, np.int32)
+    for b, c in enumerate(copies):
+        dispatcher[b, : len(c)] = c
+
+    bl = np.zeros(n_frags, bool)
+    bl[list(blacklisted)] = True
+    return NeighbourTable(
+        xk=jnp.asarray(xk), pk=jnp.asarray(pk),
+        dispatcher=jnp.asarray(dispatcher), blacklist=jnp.asarray(bl),
+        n_bins=n_bins, max_copies=max_copies)
+
+
+def temperature(t, n_step):
+    """Annealing schedule; the reference hard-codes 1.0
+    (cuda_lib_gl.py:2590-2603, schedule commented out)."""
+    return jnp.float32(1.0)
+
+
+def sample_neighbours(key, f_a, state: GenomeState, nb: NeighbourTable, delta: int):
+    """Sample <= delta partner bins (without replacement, p prop contacts^3),
+    expand to repeat copies, add the other copies of fA's own bin, mask
+    blacklisted / self entries. Returns (ids, valid) of static length
+    delta * max_copies + max_copies.
+    """
+    bin_a = state.id_d[f_a]
+    pk_row = nb.pk[bin_a]
+    xk_row = nb.xk[bin_a]
+    # Gumbel top-k == weighted sampling without replacement.
+    g = jnp.where(pk_row > 0, jnp.log(pk_row), -jnp.inf)
+    g = g - jnp.log(-jnp.log(jax.random.uniform(key, pk_row.shape) + 1e-20) + 1e-20)
+    _, top = jax.lax.top_k(g, delta)
+    bins = xk_row[top]
+    bin_valid = pk_row[top] > 0
+
+    # repeat expansion: (delta, max_copies) copy ids
+    exp = nb.dispatcher[bins]                        # (delta, mc)
+    exp_valid = (exp >= 0) & bin_valid[:, None]
+    # other copies of fA's own bin (return_neighbours, cuda_lib_gl.py:2316-2319)
+    own = nb.dispatcher[bin_a]                       # (mc,)
+    own_valid = (own >= 0) & (own != f_a) & (state.rep[f_a] == 1)
+
+    ids = jnp.concatenate([own, exp.reshape(-1)])
+    valid = jnp.concatenate([own_valid, exp_valid.reshape(-1)])
+    valid = valid & ~nb.blacklist[jnp.clip(ids, 0)] & (ids != f_a)
+    ids = jnp.clip(ids, 0)
+    # Deterministic order (the reference sorts ids, cuda_lib_gl.py:1879);
+    # push invalid entries to the end.
+    sort_key = jnp.where(valid, ids, jnp.int32(2 ** 30))
+    order = jnp.argsort(sort_key)
+    return ids[order], valid[order]
+
+
+def select_score_slot(key, score, valid_nb, f_t):
+    """Filter / temper / sample one (neighbour, op) slot.
+
+    Exactly the reference's host logic (cuda_lib_gl.py:1899-1947): drop
+    duplicate eject/flip slots beyond the first neighbour, shift by the
+    minimum, clamp to a 30-window below the max, normalise, raise to 1/F_t,
+    renormalise, categorical draw; argmax fallback when <= 1 candidate
+    survives.
+    """
+    m, n_ops = score.shape
+    op_idx = jnp.arange(n_ops)[None, :]
+    nb_idx = jnp.arange(m)[:, None]
+    # eject/flip do not depend on the neighbour: keep them on slot 0 only
+    dup = (op_idx < 2) & (nb_idx > 0)
+    valid_op = valid_nb[:, None] | ((nb_idx == 0) & (op_idx < 2))
+    flat = score.reshape(-1)
+    valid_flat = (valid_op & ~dup).reshape(-1)
+
+    score_min = jnp.min(jnp.where(valid_flat, flat, jnp.inf))
+    filtered = jnp.where(valid_flat, flat - score_min, 0.0)
+    max_score = jnp.max(filtered)
+    filtered = jnp.maximum(filtered - (max_score - THRESH_OVERFLOW), 0.0)
+    filtered = jnp.where(valid_flat, filtered, 0.0)
+
+    n_pos = jnp.sum(filtered > 0)
+    p = filtered / jnp.sum(filtered)
+    logw = jnp.where(p > 0, jnp.log(p) / f_t, -jnp.inf)
+    cat = jax.random.categorical(key, logw)
+    best = jnp.argmax(jnp.where(valid_flat, flat, -jnp.inf))
+    return jnp.where(n_pos <= 1, best, cat)
+
+
+def make_em_step(table: SubFragTable, obs, nb: NeighbourTable, delta: int,
+                 ll_dtype=jnp.float32):
+    """Build the jitted single-fragment EM step.
+
+    Returns step(state, key, params, f_a, f_t) ->
+    (new_state, (score_sel, op_sel, fb_sel)).
+    """
+    obs = jnp.asarray(obs, jnp.float32)
+
+    def step(state: GenomeState, key, params: RippeParams, f_a, f_t):
+        k_nb, k_sel = jax.random.split(key)
+        ids, valid = sample_neighbours(k_nb, f_a, state, nb, delta)
+
+        cands = jax.vmap(lambda fb: build_candidates(state, f_a, fb))(ids)
+        ll = jax.vmap(jax.vmap(
+            lambda c: log_likelihood(c, table, obs, params, dtype=ll_dtype)))(cands)
+
+        sel = select_score_slot(k_sel, ll.astype(jnp.float32), valid, f_t)
+        sel_nb = sel // N_CANDIDATES
+        sel_op = sel % N_CANDIDATES
+        new_state = jax.tree.map(lambda x: x[sel_nb, sel_op], cands)
+
+        # blacklisted fragments are skipped entirely (cuda_lib_gl.py:1796,1962)
+        skip = nb.blacklist[f_a]
+        new_state = GenomeState(*[jnp.where(skip, a, b)
+                                  for a, b in zip(state, new_state)])
+        score_sel = jnp.where(skip, -jnp.inf, ll.reshape(-1)[sel])
+        return new_state, (score_sel, jnp.where(skip, -1, sel_op),
+                           jnp.where(skip, f_a, ids[sel_nb]))
+
+    return step
+
+
+def _device_peval(s, params: RippeParams):
+    """Rippe curve without the v_inter clamp / range gate — the raw model
+    value used for nuisance re-derivations (optim_rippe_curve_update.py:22)."""
+    n = s * params.lm / params.kuhn
+    return (params.fact * 0.53 * jnp.power(params.kuhn, -3.0)
+            * jnp.power(n, params.slope)
+            * jnp.exp((params.d - 2.0) / (n * n + params.d)))
+
+
+def solve_d_max(params: RippeParams, v_inter, lo=1e-2, hi=1e6, iters=80):
+    """Bisection solve of rippe(s) == v_inter on the decreasing branch —
+    the device-side equivalent of estimate_max_dist_intra (fsolve,
+    optim_rippe_curve_update.py:125-135)."""
+    def body(_, bounds):
+        lo_, hi_ = bounds
+        mid = jnp.sqrt(lo_ * hi_)
+        above = _device_peval(mid, params) > v_inter
+        return jnp.where(above, mid, lo_), jnp.where(above, hi_, mid)
+    lo_f, hi_f = jax.lax.fori_loop(0, iters, body,
+                                   (jnp.float32(lo), jnp.float32(hi)))
+    return jnp.sqrt(lo_f * hi_f)
+
+
+def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32):
+    """Jitted nuisance-parameter Metropolis step
+    (step_nuisance_parameters, cuda_lib_gl.py:2022-2107).
+
+    One of {fact, slope, d_max, v_inter} is perturbed with a Gaussian of the
+    reference's per-parameter sigma; dependent parameters (c1, d_max or
+    v_inter) are re-derived; accepted with probability
+    exp((L* - L_t) / F_t).
+    """
+    obs = jnp.asarray(obs, jnp.float32)
+    sigma_slope = 0.05
+    sigma_d_max = 100.0
+    sigma_d_nuc = 0.5
+
+    def rederive_c1(p: RippeParams):
+        c1 = (0.53 * jnp.power(p.lm / p.kuhn, p.slope)
+              * jnp.power(p.kuhn, -3.0))
+        return p._replace(c1=c1.astype(jnp.float32))
+
+    def step(state: GenomeState, key, params: RippeParams, l_t, f_t):
+        k_mod, k_eps, k_u = jax.random.split(key, 3)
+        id_modif = jax.random.randint(k_mod, (), 0, 4)
+        eps = jax.random.normal(k_eps, ())
+
+        def mod_fact(p):
+            sigma = jnp.power(10.0, jnp.log10(p.fact) - 2.0)
+            p = p._replace(fact=p.fact + eps * sigma)
+            return p._replace(d_max=solve_d_max(p, p.v_inter))
+
+        def mod_slope(p):
+            p = rederive_c1(p._replace(slope=p.slope + eps * sigma_slope))
+            return p._replace(d_max=solve_d_max(p, p.v_inter))
+
+        def mod_d_max(p):
+            new_d_max = p.d_max + eps * sigma_d_max
+            new_v = _device_peval(new_d_max, p)
+            return p._replace(d_max=new_d_max, v_inter=new_v)
+
+        def mod_d_nuc(p):
+            new_v = p.v_inter + eps * sigma_d_nuc
+            p = p._replace(v_inter=new_v)
+            return p._replace(d_max=solve_d_max(p, new_v))
+
+        test_params = jax.lax.switch(
+            id_modif, [mod_fact, mod_slope, mod_d_max, mod_d_nuc], params)
+        test_params = RippeParams(*[x.astype(jnp.float32) for x in test_params])
+
+        l_star = log_likelihood(state, table, obs, test_params, dtype=ll_dtype)
+        ratio = jnp.exp((l_star.astype(jnp.float32) - l_t) / f_t)
+        accept = ratio >= jax.random.uniform(k_u, ())
+        out = RippeParams(*[jnp.where(accept, a, b)
+                            for a, b in zip(test_params, params)])
+        l_out = jnp.where(accept, l_star.astype(jnp.float32), l_t)
+        return out, l_out, accept
+
+    return step
+
+
+class CycleMetrics(NamedTuple):
+    likelihood: jnp.ndarray
+    n_contigs: jnp.ndarray
+    op_sampled: jnp.ndarray
+    id_f_sampled: jnp.ndarray
+    id_f_a: jnp.ndarray
+    fact: jnp.ndarray
+    slope: jnp.ndarray
+    d_max: jnp.ndarray
+    v_inter: jnp.ndarray
+    success: jnp.ndarray
+
+
+def make_em_cycle(table: SubFragTable, obs, nb: NeighbourTable, delta: int,
+                  sample_param: bool = True, ll_dtype=jnp.float32):
+    """One EM cycle (all fragments in the given order) as a single scan —
+    the device-side equivalent of the start_EM inner loop
+    (main_gl.py:225-278)."""
+    em_step = make_em_step(table, obs, nb, delta, ll_dtype)
+    nuis_step = make_nuisance_step(table, obs, ll_dtype)
+
+    @jax.jit
+    def cycle(state: GenomeState, key, params: RippeParams, frag_order, l_t, f_t):
+        def body(carry, f_a):
+            state, key, params, l_t = carry
+            key, k_step, k_nuis = jax.random.split(key, 3)
+            state, (score, op, fb) = em_step(state, k_step, params, f_a, f_t)
+            l_t = jnp.where(jnp.isfinite(score), score, l_t)
+            if sample_param:
+                params, l_t, success = nuis_step(state, k_nuis, params, l_t, f_t)
+            else:
+                success = jnp.bool_(True)
+            metrics = CycleMetrics(
+                likelihood=l_t, n_contigs=state.n_contigs(),
+                op_sampled=op, id_f_sampled=fb, id_f_a=f_a,
+                fact=params.fact, slope=params.slope, d_max=params.d_max,
+                v_inter=params.v_inter, success=success)
+            return (state, key, params, l_t), metrics
+
+        (state, key, params, l_t), metrics = jax.lax.scan(
+            body, (state, key, params, l_t), frag_order)
+        return state, params, l_t, metrics
+
+    return cycle
+
+
+def explode_genome(state: GenomeState) -> GenomeState:
+    """Scramble to the worst-case start: every fragment a singleton contig
+    (explode_genome, cuda_lib_gl.py:1539-1557 — sequential pop_outs in the
+    reference; directly constructed here, an identical partition)."""
+    n = state.n_frags
+    return state._replace(
+        pos=jnp.zeros(n, jnp.int32),
+        id_c=jnp.arange(n, dtype=jnp.int32),
+        start_bp=jnp.zeros(n, jnp.int32),
+        circ=jnp.zeros(n, jnp.int32),
+        l_cont=jnp.ones(n, jnp.int32),
+        l_cont_bp=state.len_bp,
+        ori=jnp.ones(n, jnp.int32),
+    )
+
+
+def apply_mutation(state: GenomeState, f_a, f_b, mode) -> GenomeState:
+    """Apply one recorded mutation — the replay primitive
+    (apply_replay_simu, cuda_lib_gl.py:1559-1578)."""
+    cands = build_candidates(state, f_a, f_b)
+    return jax.tree.map(lambda x: x[mode], cands)
