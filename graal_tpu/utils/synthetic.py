@@ -1,0 +1,104 @@
+"""Synthetic problem generation: ground-truth genomes + Poisson contact maps.
+
+The reference generates synthetic observed matrices from a known genome and
+known Rippe parameters for ground-truth-known experiments (is_simu mode,
+simulation_loader.py:119-120 -> simulate_data_2d, kernels3.cu:2331-2800).
+Used by tests, benchmarks and the driver entry points.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from graal_tpu.core.likelihood import expected_data_matrix
+from graal_tpu.core.model import RippeParams
+from graal_tpu.core.state import GenomeState
+from graal_tpu.core.subfrags import SubFragTable, build_sub_frag_table
+
+
+def default_params(fact=8000.0) -> RippeParams:
+    return RippeParams.create(kuhn=1.0, lm=9.6, slope=-1.5, d=3.0,
+                              fact=fact, d_max=900.0, v_inter=0.1)
+
+
+def make_genome(n_bins: int, n_contigs: int, mean_len_bp: int = 9000,
+                subs_per_bin: int = 3, seed: int = 0):
+    """A ground-truth genome of ``n_bins`` bins over ``n_contigs`` contigs,
+    each bin split into ``subs_per_bin`` sub-fragments (S1-pyramid-like
+    geometry: ~3 collinear sub-fragments per sampling-level bin)."""
+    rng = np.random.default_rng(seed)
+    sizes = np.full(n_contigs, n_bins // n_contigs)
+    sizes[: n_bins - sizes.sum()] += 1
+    len_bp = rng.integers(int(mean_len_bp * 0.6), int(mean_len_bp * 1.4),
+                          n_bins).astype(np.int64)
+
+    pos, id_c, start = np.zeros(n_bins, np.int64), np.zeros(n_bins, np.int64), \
+        np.zeros(n_bins, np.int64)
+    l_cont, l_cont_bp = np.zeros(n_bins, np.int64), np.zeros(n_bins, np.int64)
+    f = 0
+    for c, size in enumerate(sizes):
+        off = 0
+        first = f
+        for p in range(size):
+            pos[f], id_c[f], start[f] = p, c, off
+            off += len_bp[f]
+            f += 1
+        l_cont[first:f] = size
+        l_cont_bp[first:f] = off
+
+    state = GenomeState.from_soa(dict(
+        pos=pos, id_c=id_c, start_bp=start, len_bp=len_bp,
+        circ=np.zeros(n_bins), l_cont=l_cont, l_cont_bp=l_cont_bp,
+        ori=np.ones(n_bins), rep=np.zeros(n_bins), activ=np.ones(n_bins),
+        id_d=np.arange(n_bins)))
+
+    # sub-fragment geometry: random splits of each bin
+    sub_ids = np.zeros((n_bins, 4), np.int64)
+    sub_len = np.zeros((n_bins, 3))
+    sub_acc = np.zeros((n_bins, 3))
+    nxt = 0
+    for b in range(n_bins):
+        w = subs_per_bin if subs_per_bin > 0 else int(rng.integers(1, 4))
+        sub_ids[b, 3] = w
+        cuts = np.sort(rng.random(w - 1)) if w > 1 else np.empty(0)
+        parts = np.diff(np.concatenate([[0.0], cuts, [1.0]])) * len_bp[b] / 1000.0
+        for slot in range(w):
+            sub_ids[b, slot] = nxt
+            sub_len[b, slot] = parts[slot]
+            sub_acc[b, slot] = 1.0
+            nxt += 1
+    table = build_sub_frag_table(sub_ids, sub_len, sub_acc, np.arange(n_bins))
+    return state, table
+
+
+def simulate_contacts(state: GenomeState, table: SubFragTable,
+                      params: RippeParams, seed: int = 0) -> np.ndarray:
+    """Poisson-sample an observed data-grid matrix from the model
+    expectation (simulate_data_2d, kernels3.cu:2790-2795)."""
+    import jax
+
+    rng = np.random.default_rng(seed)
+    # One jitted call: eager dispatch on the axon (TPU-tunnel) backend
+    # would remote-compile every elementwise op separately.
+    e_fn = jax.jit(lambda s, p: expected_data_matrix(s, table, p))
+    e = np.asarray(e_fn(state, params), np.float64)
+    obs = rng.poisson(np.maximum(np.triu(e, 1), 0.0)).astype(np.float32)
+    return obs + obs.T
+
+
+def bin_level_matrix(obs: np.ndarray, table: SubFragTable) -> np.ndarray:
+    """Aggregate a data-grid matrix to the bin level (for the neighbour
+    proposal distribution, which the reference draws from the bin-level
+    sub-sampled matrix, cuda_lib_gl.py:2363-2390)."""
+    data_id = np.asarray(table.data_id)
+    owner = np.asarray(table.owner)
+    n_bins = int(owner.max()) + 1
+    # map data sub -> bin (no repeats: owner is the bin)
+    sub_bin = np.zeros(obs.shape[0], np.int64)
+    sub_bin[data_id] = owner
+    out = np.zeros((n_bins, n_bins), np.float32)
+    np.add.at(out, (sub_bin[:, None].repeat(obs.shape[0], 1),
+                    sub_bin[None, :].repeat(obs.shape[0], 0)), obs)
+    np.fill_diagonal(out, 0.0)
+    return out

@@ -1,0 +1,93 @@
+"""Multi-device tests on 8 simulated CPU devices (conftest sets the flag)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graal_tpu.core import mcmc, likelihood
+from graal_tpu.core.model import RippeParams
+from graal_tpu.core.state import GenomeState, check_invariants
+from graal_tpu.core.subfrags import trivial_table
+from graal_tpu.parallel import (make_mesh, sharded_log_likelihood,
+                                make_sharded_em_step, make_chain_exchange)
+from tests.test_mcmc import make_problem, true_genome
+
+
+@pytest.fixture(scope="module")
+def problem():
+    return make_problem(seed=1, n=16)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) == 8
+
+
+def test_sharded_ll_matches_single_device(problem):
+    state, table, params, obs = problem
+    mesh = make_mesh(n_chains=1, n_rows=8)
+    ll_fn = sharded_log_likelihood(mesh, table, obs)
+    got = float(ll_fn(state, params))
+    want = float(likelihood.log_likelihood(state, table, obs, params))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_sharded_ll_uneven_rows(problem):
+    # 16 rows over 8 devices is even; test padding with a 5-frag genome
+    state = true_genome(n=10, n_contigs=2, len_bp=3000)
+    table = trivial_table(np.asarray(state.len_bp))
+    params = RippeParams.create(kuhn=1.0, lm=9.6, slope=-1.5, d=3.0,
+                                fact=5000.0, d_max=900.0, v_inter=0.1)
+    rng = np.random.default_rng(0)
+    obs = rng.poisson(2.0, (10, 10)).astype(np.float32)
+    obs = np.triu(obs, 1) + np.triu(obs, 1).T
+    mesh = make_mesh(n_chains=1, n_rows=8)
+    got = float(sharded_log_likelihood(mesh, table, obs)(state, params))
+    want = float(likelihood.log_likelihood(state, table, obs, params))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_sharded_em_step_runs_and_improves(problem):
+    state, table, params, obs = problem
+    n = state.n_frags
+    mesh = make_mesh(n_chains=2, n_rows=4)
+    nb = mcmc.build_neighbour_table(obs, np.arange(n), n)
+    step = make_sharded_em_step(mesh, table, obs, nb, delta=3)
+
+    scrambled = mcmc.explode_genome(state)
+    states = jax.tree.map(lambda x: jnp.stack([x, x]), (scrambled,))[0]
+    states = GenomeState(*[jnp.stack([a, a]) for a in scrambled])
+    keys = jax.random.split(jax.random.key(0), 2)
+    f_as = jnp.asarray([3, 7], jnp.int32)
+    new_states, scores = step(states, keys, params, f_as, jnp.float32(1.0))
+    assert scores.shape == (2,)
+    for c in range(2):
+        chain = GenomeState(*[x[c] for x in new_states])
+        check_invariants(chain)
+    # chains with different keys/fragments should generally diverge
+    ll0 = float(likelihood.log_likelihood(
+        GenomeState(*[x[0] for x in new_states]), table, obs, params))
+    np.testing.assert_allclose(ll0, float(scores[0]), rtol=1e-4)
+
+
+def test_chain_exchange_broadcasts_best(problem):
+    state, table, params, obs = problem
+    mesh = make_mesh(n_chains=8, n_rows=1)
+    exchange = make_chain_exchange(mesh)
+    scrambled = mcmc.explode_genome(state)
+    # chain 3 holds the true genome, others scrambled
+    states = GenomeState(*[
+        jnp.stack([np.asarray(t) if c == 3 else np.asarray(s)
+                   for c in range(8)])
+        for t, s in zip(state, scrambled)])
+    lls = jnp.asarray([likelihood.log_likelihood(
+        GenomeState(*[x[c] for x in states]), table, obs, params)
+        for c in range(8)])
+    assert int(jnp.argmax(lls)) == 3
+    out_states, out_ll = exchange(states, lls)
+    np.testing.assert_allclose(np.asarray(out_ll), float(lls[3]), rtol=1e-6)
+    for c in range(8):
+        for f, x in zip(state._fields, out_states):
+            np.testing.assert_array_equal(
+                np.asarray(x[c]), np.asarray(getattr(state, f)),
+                err_msg=f"chain {c} field {f}")
