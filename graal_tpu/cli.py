@@ -1,0 +1,176 @@
+"""Command-line interface — the headless replacement of the reference's
+wx GUI (main_window.py).
+
+Usage:
+    python -m graal_tpu.cli pyramid  DATASET_DIR [--size 4 --factor 3]
+    python -m graal_tpu.cli run      DATASET_DIR --fasta GENOME.FA [options]
+    python -m graal_tpu.cli simulate OUT_DIR [--bins 384 --contigs 16]
+    python -m graal_tpu.cli replay   DATASET_DIR MUTATION_LOG [options]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+
+def _add_run_opts(p):
+    p.add_argument("--size", type=int, default=4, help="pyramid levels")
+    p.add_argument("--factor", type=int, default=3)
+    p.add_argument("--level", type=int, default=None,
+                   help="sampling level (default: size-1)")
+    p.add_argument("--cycles", type=int, default=10)
+    p.add_argument("--neighbours", type=int, default=4)
+    p.add_argument("--no-sample-param", action="store_true")
+    p.add_argument("--no-scramble", action="store_true")
+    p.add_argument("--allow-repeats", action="store_true")
+    p.add_argument("--blacklist", type=int, nargs="*", default=[])
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--t0", type=float, default=1.0)
+    p.add_argument("--tf", type=float, default=1.0)
+    p.add_argument("--out", default="graal_out")
+    p.add_argument("--platform", default="",
+                   help="jax platform override (e.g. cpu)")
+    p.add_argument("--config", default="", help="TOML config file")
+
+
+def _config_from_args(args):
+    from graal_tpu.config import RunConfig
+
+    if args.config:
+        cfg = RunConfig.from_toml(args.config)
+    else:
+        cfg = RunConfig()
+    cfg.dataset_dir = args.dataset
+    cfg.output_dir = args.out
+    cfg.platform = args.platform
+    cfg.pyramid.size = args.size
+    cfg.pyramid.factor = args.factor
+    cfg.sampler.level = args.level if args.level is not None else args.size - 1
+    cfg.sampler.n_cycles = args.cycles
+    cfg.sampler.n_neighbours = args.neighbours
+    cfg.sampler.sample_param = not args.no_sample_param
+    cfg.sampler.scrambled = not args.no_scramble
+    cfg.sampler.allow_repeats = args.allow_repeats
+    cfg.sampler.blacklist_contigs = tuple(args.blacklist)
+    cfg.sampler.seed = args.seed
+    cfg.sampler.t0 = args.t0
+    cfg.sampler.tf = args.tf
+    return cfg
+
+
+def cmd_pyramid(args):
+    from graal_tpu.io.pyramid import build_and_filter
+
+    p = build_and_filter(args.dataset, args.size, args.factor)
+    for lv in range(args.size):
+        level = p.get_level(lv)
+        print(f"level {lv}: {level.n_frags} fragments, "
+              f"{level.sparse.nnz} non-zero contacts")
+    print(f"pyramid at {p.folder}")
+    return 0
+
+
+def cmd_run(args):
+    from graal_tpu.pipeline import Runner
+
+    cfg = _config_from_args(args)
+    runner = Runner(cfg)
+    print(f"level {runner.level.level}: {runner.level.n_frags} bins, "
+          f"{runner.state.n_frags} fragments "
+          f"({len(runner.duplications)} repeated)")
+    print("fitted params:", json.dumps({k: float(v) for k, v in zip(
+        runner.params._fields, runner.params)}))
+    assembly = runner.run_em()
+    runner.save_behaviour(assembly)
+    if args.fasta:
+        contigs = runner.export_fasta(assembly, args.fasta)
+        print(f"wrote {len(contigs)} contigs to "
+              f"{os.path.join(cfg.output_dir, 'genome.fasta')}")
+    print(f"outputs in {cfg.output_dir}")
+    return 0
+
+
+def cmd_simulate(args):
+    """Generate a synthetic ground-truth dataset in reference format."""
+    from graal_tpu.utils.dataset import write_synthetic_dataset
+
+    info = write_synthetic_dataset(args.out, n_bins=args.bins,
+                                   n_contigs=args.contigs, seed=args.seed)
+    print(json.dumps(info))
+    return 0
+
+
+def cmd_replay(args):
+    """Re-apply a recorded mutation log (replay_simu, main_gl.py:140-207)."""
+    import jax
+    import jax.numpy as jnp
+    from graal_tpu.config import RunConfig
+    from graal_tpu.core import mcmc
+    from graal_tpu.core.likelihood import log_likelihood
+    from graal_tpu.pipeline import Runner
+
+    cfg = _config_from_args(args)
+    runner = Runner(cfg)
+    muts = np.loadtxt(args.log, dtype=np.int64, skiprows=1, ndmin=2)
+    state = jax.jit(mcmc.explode_genome)(runner.state)
+    apply_jit = jax.jit(mcmc.apply_mutation)
+    for fa, fb, op in muts:
+        if op < 0:
+            continue
+        state = apply_jit(state, int(fa), int(fb), int(op))
+    ll = jax.jit(lambda s: log_likelihood(s, runner.table, runner.obs,
+                                          runner.params))(state)
+    print(f"replayed {len(muts)} mutations, final loglik = {float(ll):.2f}")
+    runner.state = state
+    if args.fasta:
+        from graal_tpu.pipeline import Assembly
+        assembly = Assembly(state=state, params=runner.params,
+                            table=runner.table, obs=runner.obs, metrics={},
+                            level=runner.level)
+        runner.export_fasta(assembly, args.fasta)
+    return 0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(prog="graal_tpu",
+                                 description=__doc__,
+                                 formatter_class=argparse.RawDescriptionHelpFormatter)
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("pyramid", help="build the contact-map pyramid")
+    p.add_argument("dataset")
+    p.add_argument("--size", type=int, default=4)
+    p.add_argument("--factor", type=int, default=3)
+    p.set_defaults(fn=cmd_pyramid)
+
+    p = sub.add_parser("run", help="full assembly run")
+    p.add_argument("dataset")
+    p.add_argument("--fasta", default="", help="reference genome FASTA")
+    _add_run_opts(p)
+    p.set_defaults(fn=cmd_run)
+
+    p = sub.add_parser("simulate", help="write a synthetic dataset")
+    p.add_argument("out")
+    p.add_argument("--bins", type=int, default=120)
+    p.add_argument("--contigs", type=int, default=4)
+    p.add_argument("--seed", type=int, default=0)
+    p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("replay", help="re-apply a recorded mutation log")
+    p.add_argument("dataset")
+    p.add_argument("log")
+    p.add_argument("--fasta", default="")
+    _add_run_opts(p)
+    p.set_defaults(fn=cmd_replay)
+
+    args = ap.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -221,6 +221,14 @@ def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32):
     sigma_slope = 0.05
     sigma_d_max = 100.0
     sigma_d_nuc = 0.5
+    # Prior support: the reference declares these ranges but never applies
+    # them (cuda_lib_gl.py:2031-2045); without enforcement a negative
+    # v_inter makes -ex contributions positive and the likelihood diverges.
+    # Out-of-range proposals are rejected.
+    fact_max = float(np.max(np.asarray(obs)))
+    slope_range = (-2.0, -0.5)
+    d_max_range = (0.0, 10000.0)
+    d_nuc_range = (0.0, 100.0)
 
     def rederive_c1(p: RippeParams):
         c1 = (0.53 * jnp.power(p.lm / p.kuhn, p.slope)
@@ -254,10 +262,18 @@ def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32):
         test_params = jax.lax.switch(
             id_modif, [mod_fact, mod_slope, mod_d_max, mod_d_nuc], params)
         test_params = RippeParams(*[x.astype(jnp.float32) for x in test_params])
+        in_support = (
+            (test_params.fact > 0.0) & (test_params.fact <= fact_max)
+            & (test_params.slope >= slope_range[0])
+            & (test_params.slope <= slope_range[1])
+            & (test_params.d_max > d_max_range[0])
+            & (test_params.d_max <= d_max_range[1])
+            & (test_params.v_inter > d_nuc_range[0])
+            & (test_params.v_inter <= d_nuc_range[1]))
 
         l_star = log_likelihood(state, table, obs, test_params, dtype=ll_dtype)
         ratio = jnp.exp((l_star.astype(jnp.float32) - l_t) / f_t)
-        accept = ratio >= jax.random.uniform(k_u, ())
+        accept = in_support & (ratio >= jax.random.uniform(k_u, ()))
         out = RippeParams(*[jnp.where(accept, a, b)
                             for a, b in zip(test_params, params)])
         l_out = jnp.where(accept, l_star.astype(jnp.float32), l_t)

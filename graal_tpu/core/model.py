@@ -147,7 +147,9 @@ def poisson_loglik(ex: jnp.ndarray, ob: jnp.ndarray) -> jnp.ndarray:
     big = ob * log_ex - ex - (ob * jnp.log(safe_ob) - ob + 0.5 * jnp.log(safe_ob * 2.0 * np.pi))
     small = ob * log_ex - ex - _log_factorial_ref(safe_ob)
     res = jnp.where(ob >= _STIRLING_LIM, big, jnp.where(ob > 0.0, small, -ex))
-    return jnp.where(ex != 0.0, res, 0.0)
+    # ex == 0 contributes nothing (reference branch); a negative expectation
+    # is a model-parameter bug — poison the sum instead of rewarding it.
+    return jnp.where(ex > 0.0, res, jnp.where(ex == 0.0, 0.0, -jnp.inf))
 
 
 # ---------------------------------------------------------------------------

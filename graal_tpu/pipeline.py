@@ -1,0 +1,271 @@
+"""End-to-end assembly pipeline: dataset -> pyramid -> sampler -> FASTA.
+
+Headless re-design of the reference's orchestration stack
+(simulation_loader.simulation + main_gl.window.start_EM): wires a pyramid
+level to the sampler, detects repeats, blacklists contigs, estimates model
+parameters, runs EM cycles with optional nuisance sampling, logs the same
+output series as the reference (9 txt files + mutation log,
+main_gl.py:321-342), and exports the assembled genome.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+from graal_tpu.config import RunConfig, temperature_schedule
+from graal_tpu.core import mcmc
+from graal_tpu.core.likelihood import log_likelihood
+from graal_tpu.core.model import RippeParams, fit_rippe_from_matrix
+from graal_tpu.core.state import (GenomeState, check_invariants,
+                                  derive_prev_next, dist_inter_genome)
+from graal_tpu.core.subfrags import SubFragTable, table_from_level
+from graal_tpu.io import fasta as fasta_io
+from graal_tpu.io import pyramid as pyramid_io
+
+
+def detect_repeats(bin_matrix: np.ndarray, allow_repeats: bool):
+    """Coverage-outlier repeat detection (select_repeated_frags,
+    simulation_loader.py:369-394): bins with coverage > mean + 3 sd are
+    repeat candidates with estimated copy number max(1, round(cov/th) - 1)
+    extra copies."""
+    if not allow_repeats:
+        return []
+    coverage = bin_matrix.sum(axis=0) + bin_matrix.sum(axis=1)
+    thresh = coverage.mean() + 3 * coverage.std()
+    out = []
+    for b in np.nonzero(coverage > thresh)[0]:
+        n_dup = int(max(1, round(coverage[b] / thresh) - 1))
+        out.append((int(b), n_dup))
+    return out
+
+
+def extend_with_repeats(soa: dict, duplications):
+    """Append repeat copies as fresh singleton contigs
+    (modify_vect_frags, simulation_loader.py:182-256)."""
+    if not duplications:
+        return soa
+    soa = {k: list(np.asarray(v)) for k, v in soa.items()}
+    max_c = max(soa["id_c"]) + 1
+    for bin_id, n_dup in duplications:
+        for _ in range(n_dup):
+            soa["pos"].append(0)
+            soa["id_c"].append(max_c)
+            soa["start_bp"].append(0)
+            soa["len_bp"].append(soa["len_bp"][bin_id])
+            soa["circ"].append(0)
+            soa["l_cont"].append(1)
+            soa["l_cont_bp"].append(soa["len_bp"][bin_id])
+            soa["n_accu"].append(soa["n_accu"][bin_id])
+            soa["ori"].append(1)
+            soa["rep"].append(1)
+            soa["activ"].append(1)
+            soa["id_d"].append(bin_id)
+            max_c += 1
+    # mark the originals of duplicated bins as repeats too
+    for bin_id, _ in duplications:
+        soa["rep"][bin_id] = 1
+    return {k: np.asarray(v) for k, v in soa.items()}
+
+
+@dataclasses.dataclass
+class Assembly:
+    state: GenomeState
+    params: RippeParams
+    table: SubFragTable
+    obs: np.ndarray
+    metrics: dict
+    level: "pyramid_io.Level"
+
+
+class Runner:
+    """One configured assembly run."""
+
+    def __init__(self, cfg: RunConfig, pyramid: "pyramid_io.Pyramid | None" = None):
+        import jax
+
+        self.cfg = cfg
+        if cfg.platform:
+            jax.config.update("jax_platforms", cfg.platform)
+        self.jax = jax
+        os.makedirs(cfg.output_dir, exist_ok=True)
+        self.pyramid = pyramid or pyramid_io.build_and_filter(
+            cfg.dataset_dir, cfg.pyramid.size, cfg.pyramid.factor,
+            cfg.pyramid.min_bin_per_contig)
+        self._setup_level()
+        self._setup_matrices()
+        self._setup_state()
+        self._estimate_parameters()
+
+    # ---- setup ------------------------------------------------------------
+    def _setup_level(self):
+        cfg = self.cfg
+        level = min(cfg.sampler.level, cfg.pyramid.size - 1)
+        self.level = self.pyramid.get_level(level)
+        self.sub_level = self.pyramid.get_level(max(level - 1, 0))
+        sub_soa = self.sub_level.genome_soa()
+        ranges = self.pyramid.sub_ranges(level) if level > 0 else \
+            np.stack([np.arange(self.level.n_frags)] * 2, axis=1)
+        self.bin_to_subs = ranges
+        self.sub_soa = sub_soa
+
+    def _setup_matrices(self):
+        self.bin_matrix = self.level.dense_matrix()
+        np.fill_diagonal(self.bin_matrix, 0.0)
+        self.obs = self.sub_level.dense_matrix()
+        np.fill_diagonal(self.obs, 0.0)
+        self.mean_value_trans = self.sub_level.mean_value_trans()
+
+    def _setup_state(self):
+        cfg = self.cfg
+        soa = self.level.genome_soa()
+        n_bins = self.level.n_frags
+
+        # contig blacklisting (blacklist_contig, simulation_loader.py:129-163)
+        blacklisted = []
+        for cid in cfg.sampler.blacklist_contigs:
+            blacklisted.extend(np.nonzero(soa["id_c"] == cid)[0].tolist())
+
+        self.duplications = detect_repeats(self.bin_matrix,
+                                           cfg.sampler.allow_repeats)
+        soa = extend_with_repeats(soa, self.duplications)
+        self.state = GenomeState.from_soa(soa)
+        self.n_bins = n_bins
+
+        # blacklist rows: bin-level zeroed; data-level set to mean trans
+        # (cuda_lib_gl.py:161-172)
+        for f in blacklisted:
+            b = int(soa["id_d"][f])
+            self.bin_matrix[b, :] = 0.0
+            self.bin_matrix[:, b] = 0.0
+            lo, hi = self.bin_to_subs[b]
+            self.obs[lo:hi + 1, :] = self.mean_value_trans
+            self.obs[:, lo:hi + 1] = self.mean_value_trans
+
+        self.blacklisted = blacklisted
+        self.table = table_from_level(
+            self.level.genome_soa(),
+            {"len_bp": self.sub_soa["len_bp"], "n_accu": self.sub_soa["n_accu"]},
+            self.bin_to_subs, id_d=soa["id_d"])
+        self.nb = mcmc.build_neighbour_table(
+            self.bin_matrix, soa["id_d"], self.state.n_frags,
+            blacklisted=blacklisted, n_top=cfg.sampler.n_neighbours_cap)
+
+        # initial-genome references for the distance metric
+        self.init_prev, self.init_next = derive_prev_next(self.state)
+        self.init_ori = np.ones(self.state.n_frags, np.int64)
+        widths = self.bin_to_subs[:, 1] - self.bin_to_subs[:, 0] + 1
+        self.orientable = widths[np.asarray(self.state.id_d)] > 1
+        skip = np.zeros(self.state.n_frags, bool)
+        skip[self.blacklisted] = True
+        dup_bins = {b for b, _ in self.duplications}
+        for f in range(self.state.n_frags):
+            if int(np.asarray(self.state.id_d)[f]) in dup_bins:
+                skip[f] = True
+        self.dist_skip = skip
+
+    def _estimate_parameters(self):
+        """Rippe fit on the observed data (estimate_parameters,
+        cuda_lib_gl.py:1229-1294): fit window = mean contig length (kb),
+        bin width = mean bin length (kb)."""
+        soa = self.sub_soa
+        mean_dist_kb = float(np.mean(
+            [soa["l_cont_bp"][i] for i in range(len(soa["pos"]))
+             if soa["pos"][i] == 0])) / 1000.0
+        size_bin_kb = float(np.mean(soa["len_bp"])) / 1000.0
+        self.params, self.fit_bins, self.fit_contacts, self.fit_estim = \
+            fit_rippe_from_matrix(
+                self.obs, soa, self.mean_value_trans,
+                mean_dist_kb * self.cfg.model.max_dist_bins_factor, size_bin_kb)
+
+    # ---- run --------------------------------------------------------------
+    def run_em(self, n_cycles=None, progress=True) -> Assembly:
+        import jax
+        import jax.numpy as jnp
+
+        cfg = self.cfg
+        n_cycles = n_cycles or cfg.sampler.n_cycles
+        cycle = mcmc.make_em_cycle(self.table, self.obs, self.nb,
+                                   delta=cfg.sampler.n_neighbours,
+                                   sample_param=cfg.sampler.sample_param)
+        state = self.state
+        if cfg.sampler.scrambled:
+            state = jax.jit(mcmc.explode_genome)(state)
+        params = self.params
+        key = jax.random.key(cfg.sampler.seed)
+        l_t = jax.jit(lambda s, p: log_likelihood(s, self.table, self.obs, p))(
+            state, params)
+
+        collected = {k: [] for k in ("likelihood", "n_contigs", "op_sampled",
+                                     "id_f_sampled", "id_f_a", "fact", "slope",
+                                     "d_max", "v_inter", "success",
+                                     "dist_init_genome")}
+        n = state.n_frags
+        t0 = time.time()
+        for j in range(n_cycles):
+            key, k_perm, k_cycle = jax.random.split(key, 3)
+            order = jax.random.permutation(k_perm, n)
+            f_t = temperature_schedule(cfg.sampler, j, n_cycles)
+            state, params, l_t, m = cycle(state, k_cycle, params, order, l_t,
+                                          jnp.float32(f_t))
+            for k in ("likelihood", "n_contigs", "op_sampled", "id_f_sampled",
+                      "id_f_a", "fact", "slope", "d_max", "v_inter", "success"):
+                collected[k].extend(np.asarray(getattr(m, k)).tolist())
+            dist = dist_inter_genome(state, self.init_prev, self.init_next,
+                                     self.init_ori, self.orientable,
+                                     self.dist_skip)
+            collected["dist_init_genome"].extend([dist] * n)
+            if progress:
+                print(f"cycle {j}: loglik={float(l_t):.1f} "
+                      f"n_contigs={int(np.asarray(m.n_contigs)[-1])} "
+                      f"dist={dist:.3f} T={f_t:.2f} "
+                      f"({time.time() - t0:.1f}s)", flush=True)
+        check_invariants(state)
+        self.state = state
+        self.params = params
+        return Assembly(state=state, params=params, table=self.table,
+                        obs=self.obs, metrics=collected, level=self.level)
+
+    # ---- outputs ----------------------------------------------------------
+    def save_behaviour(self, assembly: Assembly):
+        """The reference's 9 txt series + mutation log
+        (save_behaviour_to_txt, main_gl.py:321-342)."""
+        out = self.cfg.output_dir
+        m = assembly.metrics
+        series = {
+            "list_likelihood.txt": m["likelihood"],
+            "list_n_contigs.txt": m["n_contigs"],
+            "list_dist_init_genome.txt": m["dist_init_genome"],
+            "list_fact.txt": m["fact"],
+            "list_slope.txt": m["slope"],
+            "list_d_max.txt": m["d_max"],
+            "list_d_nuc.txt": m["v_inter"],
+            "list_success.txt": m["success"],
+            "list_mean_len.txt": m.get("mean_len", []),
+        }
+        for name, vals in series.items():
+            with open(os.path.join(out, "0" + name), "w") as fh:
+                for v in vals:
+                    fh.write(f"{v}\n")
+        with open(os.path.join(out, "0list_mutations.txt"), "w") as fh:
+            fh.write("id_fA\tid_fB\tid_mutation\n")
+            for fa, fb, op in zip(m["id_f_a"], m["id_f_sampled"],
+                                  m["op_sampled"]):
+                fh.write(f"{fa}\t{fb}\t{op}\n")
+        with open(os.path.join(out, "params.json"), "w") as fh:
+            json.dump({k: float(v) for k, v in
+                       zip(RippeParams._fields, assembly.params)}, fh, indent=2)
+
+    def export_fasta(self, assembly: Assembly, genome_fasta: str):
+        """Assembled genome FASTA + info_frags.txt
+        (export_new_fasta, simulation_loader.py:781-783)."""
+        seqs = fasta_io.load_fasta(genome_fasta)
+        f = self.level.frags
+        return fasta_io.export_assembly(
+            assembly.state, f.chrom, f.start_pos, f.end_pos, seqs,
+            os.path.join(self.cfg.output_dir, "genome.fasta"),
+            os.path.join(self.cfg.output_dir, "info_frags.txt"))
