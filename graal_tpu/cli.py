@@ -32,6 +32,9 @@ def _add_run_opts(p):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--t0", type=float, default=1.0)
     p.add_argument("--tf", type=float, default=1.0)
+    p.add_argument("--sampler", default="em",
+                   help="comma-separated stages: em, mtm, mh "
+                        "(e.g. 'em,mtm' = EM then MTM refinement)")
     p.add_argument("--out", default="graal_out")
     p.add_argument("--platform", default="",
                    help="jax platform override (e.g. cpu)")
@@ -85,7 +88,20 @@ def cmd_run(args):
           f"({len(runner.duplications)} repeated)")
     print("fitted params:", json.dumps({k: float(v) for k, v in zip(
         runner.params._fields, runner.params)}))
-    assembly = runner.run_em()
+    assembly = None
+    merged = {}
+    for stage in args.sampler.split(","):
+        if stage == "em":
+            assembly = runner.run_em()
+        elif stage in ("mtm", "mh"):
+            assembly = runner.run_mtm(variant=stage, assembly=assembly)
+        else:
+            raise SystemExit(f"unknown sampler stage: {stage!r} "
+                             "(expected em, mtm or mh)")
+        for k, v in assembly.metrics.items():
+            merged.setdefault(k, []).extend(v)
+    assembly.metrics.clear()
+    assembly.metrics.update(merged)
     runner.save_behaviour(assembly)
     if args.fasta:
         contigs = runner.export_fasta(assembly, args.fasta)

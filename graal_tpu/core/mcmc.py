@@ -221,11 +221,12 @@ def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32):
     sigma_slope = 0.05
     sigma_d_max = 100.0
     sigma_d_nuc = 0.5
-    # Prior support: the reference declares these ranges but never applies
-    # them (cuda_lib_gl.py:2031-2045); without enforcement a negative
+    # Prior support: the reference declares per-parameter ranges but never
+    # applies them (cuda_lib_gl.py:2031-2045); without enforcement a negative
     # v_inter makes -ex contributions positive and the likelihood diverges.
-    # Out-of-range proposals are rejected.
-    fact_max = float(np.max(np.asarray(obs)))
+    # A proposal is rejected when the *perturbed* parameter leaves its range
+    # (checking all parameters would freeze sampling whenever the initial
+    # fit lands outside a declared range).
     slope_range = (-2.0, -0.5)
     d_max_range = (0.0, 10000.0)
     d_nuc_range = (0.0, 100.0)
@@ -242,34 +243,31 @@ def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32):
 
         def mod_fact(p):
             sigma = jnp.power(10.0, jnp.log10(p.fact) - 2.0)
-            p = p._replace(fact=p.fact + eps * sigma)
-            return p._replace(d_max=solve_d_max(p, p.v_inter))
+            new_fact = p.fact + eps * sigma
+            p = p._replace(fact=new_fact)
+            return p._replace(d_max=solve_d_max(p, p.v_inter)), new_fact > 0.0
 
         def mod_slope(p):
-            p = rederive_c1(p._replace(slope=p.slope + eps * sigma_slope))
-            return p._replace(d_max=solve_d_max(p, p.v_inter))
+            new_slope = p.slope + eps * sigma_slope
+            p = rederive_c1(p._replace(slope=new_slope))
+            valid = (new_slope >= slope_range[0]) & (new_slope <= slope_range[1])
+            return p._replace(d_max=solve_d_max(p, p.v_inter)), valid
 
         def mod_d_max(p):
             new_d_max = p.d_max + eps * sigma_d_max
             new_v = _device_peval(new_d_max, p)
-            return p._replace(d_max=new_d_max, v_inter=new_v)
+            valid = (new_d_max > d_max_range[0]) & (new_d_max <= d_max_range[1])
+            return p._replace(d_max=new_d_max, v_inter=new_v), valid
 
         def mod_d_nuc(p):
             new_v = p.v_inter + eps * sigma_d_nuc
             p = p._replace(v_inter=new_v)
-            return p._replace(d_max=solve_d_max(p, new_v))
+            valid = (new_v > d_nuc_range[0]) & (new_v <= d_nuc_range[1])
+            return p._replace(d_max=solve_d_max(p, new_v)), valid
 
-        test_params = jax.lax.switch(
+        test_params, in_support = jax.lax.switch(
             id_modif, [mod_fact, mod_slope, mod_d_max, mod_d_nuc], params)
         test_params = RippeParams(*[x.astype(jnp.float32) for x in test_params])
-        in_support = (
-            (test_params.fact > 0.0) & (test_params.fact <= fact_max)
-            & (test_params.slope >= slope_range[0])
-            & (test_params.slope <= slope_range[1])
-            & (test_params.d_max > d_max_range[0])
-            & (test_params.d_max <= d_max_range[1])
-            & (test_params.v_inter > d_nuc_range[0])
-            & (test_params.v_inter <= d_nuc_range[1]))
 
         l_star = log_likelihood(state, table, obs, test_params, dtype=ll_dtype)
         ratio = jnp.exp((l_star.astype(jnp.float32) - l_t) / f_t)

@@ -1,0 +1,256 @@
+"""Multiple-try Metropolis and plain Metropolis-Hastings samplers.
+
+Device-side re-design of the reference's MCMC variants:
+
+- jumping distributions: per fragment, the delta strongest partners of the
+  accu-normalised contact matrix (set_jumping_distributions_parameters,
+  cuda_lib_gl.py:2563-2588),
+- step_mtm (cuda_lib_gl.py:2936-3069): forward pass scores 13 MH-mutation
+  candidates for every neighbour of fA, samples a proposal from the
+  tempered softmax, applies it to get G*; a backward pass scores the same
+  candidate set from G* pivoted at the chosen partner f*; the MTM ratio
+  exp(max_f - max_b) * sum(w_fwd) / sum(w_bwd) decides acceptance,
+- step_metropolis_hastings (cuda_lib_gl.py:2836-2934): the plain-MH sibling
+  with proposal probabilities in the ratio,
+- impossible-operation masking (detect_impossibility, :3072-3100): paste
+  requires both fragments at linear-contig extremities; translocations
+  require fB at the matching extremity.
+
+The whole step (both passes, 2 x 13 x n_neighbours candidate likelihoods)
+is one jitted function.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graal_tpu.core.candidates import N_CANDIDATES, mh_candidates
+from graal_tpu.core.likelihood import log_likelihood
+from graal_tpu.core.model import RippeParams
+from graal_tpu.core.state import GenomeState
+from graal_tpu.core.subfrags import SubFragTable
+
+MTM_THRESH_OVERFLOW = 600.0   # step_mtm (cuda_lib_gl.py:2974)
+MH_THRESH_OVERFLOW = 10.0     # step_metropolis_hastings_s_a (:2871)
+
+
+class JumpTable(NamedTuple):
+    """Top-delta jumping-distribution tables (static)."""
+
+    frags: jnp.ndarray   # (n_frags, delta) int32 partner ids
+    delta: int
+
+
+def build_jump_table(bin_matrix, norm_vect_accu, id_d, n_frags, delta) -> JumpTable:
+    """Accu-normalised contact matrix -> per-fragment top-delta partners
+    (set_jumping_distributions_parameters, cuda_lib_gl.py:2563-2581)."""
+    m = np.asarray(bin_matrix, np.float64)
+    norm = np.outer(np.asarray(norm_vect_accu, np.float64),
+                    np.asarray(norm_vect_accu, np.float64))
+    normed = m / np.maximum(norm, 1e-12)
+    np.fill_diagonal(normed, -np.inf)
+    id_d = np.asarray(id_d)
+    frags = np.zeros((n_frags, delta), np.int32)
+    for f in range(n_frags):
+        row = normed[id_d[f]]
+        top_bins = np.argsort(row)[::-1][:delta]
+        # map partner bins back to (first) copy fragments
+        frags[f] = [int(np.nonzero(id_d == b)[0][0]) for b in top_bins]
+    return JumpTable(frags=jnp.asarray(frags), delta=delta)
+
+
+def _prev_next(state: GenomeState, f):
+    """Device-side (prev, next) of fragment ``f``; -1 at linear extremities
+    (the reference's linked-list pointers, derived from (id_c, pos))."""
+    n = state.n_frags
+    idx = jnp.arange(n)
+    c = state.id_c[f]
+    p = state.pos[f]
+    in_c = state.id_c == c
+    is_prev = in_c & (state.pos == p - 1)
+    is_next = in_c & (state.pos == p + 1)
+    # circular wrap
+    l_val = state.l_cont[f]
+    wrap_prev = in_c & (state.pos == l_val - 1) & (p == 0) & (state.circ[f] == 1)
+    wrap_next = in_c & (state.pos == 0) & (p == l_val - 1) & (state.circ[f] == 1)
+    prev_mask = is_prev | wrap_prev
+    next_mask = is_next | wrap_next
+    prev = jnp.where(jnp.any(prev_mask), jnp.argmax(prev_mask), -1)
+    nxt = jnp.where(jnp.any(next_mask), jnp.argmax(next_mask), -1)
+    return prev, nxt
+
+
+def _impossibility_mask(state: GenomeState, f_a, nb_ids):
+    """(n_nb, 13) True where the op slot must be discarded
+    (detect_impossibility, cuda_lib_gl.py:3072-3100)."""
+    def extremity(f):
+        lin = state.circ[f] == 0
+        return lin & ((state.pos[f] == 0) | (state.pos[f] == state.l_cont[f] - 1))
+
+    def down_splitable(f):   # next == -1
+        return (state.circ[f] == 0) & (state.pos[f] == state.l_cont[f] - 1)
+
+    def up_splitable(f):     # prev == -1
+        return (state.circ[f] == 0) & (state.pos[f] == 0)
+
+    fa_ok = extremity(f_a)
+    fb_ok = jax.vmap(extremity)(nb_ids)
+    fb_down = jax.vmap(down_splitable)(nb_ids)
+    fb_up = jax.vmap(up_splitable)(nb_ids)
+
+    n_nb = nb_ids.shape[0]
+    mask = jnp.zeros((n_nb, N_CANDIDATES), bool)
+    mask = mask.at[:, 8].set(~(fa_ok & fb_ok))
+    mask = mask.at[:, 9].set(~fb_down)
+    mask = mask.at[:, 11].set(~fb_down)
+    mask = mask.at[:, 10].set(~fb_up)
+    mask = mask.at[:, 12].set(~fb_up)
+    return mask
+
+
+def _neighbour_set(state, f_a, jump: JumpTable):
+    """V = top-delta partners of fA plus its current prev/next
+    (cuda_lib_gl.py:2850-2860). Fixed length delta + 2 with validity mask."""
+    base = jump.frags[f_a]
+    prev, nxt = _prev_next(state, f_a)
+    ids = jnp.concatenate([base, jnp.stack([prev, nxt])])
+    valid = jnp.concatenate([
+        jnp.ones(jump.delta, bool), jnp.stack([prev != -1, nxt != -1])])
+    # de-duplicate (keep first occurrence) and drop self
+    first_ix = jnp.arange(ids.shape[0])
+    dup = (ids[:, None] == ids[None, :]) & (first_ix[None, :] < first_ix[:, None])
+    valid = valid & ~jnp.any(dup & valid[None, :], axis=1) & (ids != f_a)
+    return jnp.clip(ids, 0), valid
+
+
+def make_mtm_step(table: SubFragTable, obs, jump: JumpTable,
+                  ll_dtype=jnp.float32):
+    """Jitted step_mtm(state, key, params, l_t, f_a, f_t) ->
+    (state, l_t, accepted, n_contigs)."""
+    obs = jnp.asarray(obs, jnp.float32)
+
+    def scores_for(state, f_a, nb_ids, params):
+        cands = jax.vmap(lambda fb: mh_candidates(state, f_a, fb))(nb_ids)
+        ll = jax.vmap(jax.vmap(
+            lambda c: log_likelihood(c, table, obs, params, dtype=ll_dtype)))(cands)
+        return cands, ll.astype(jnp.float32)
+
+    def weights(ll_flat, discard_flat, f_t, thresh):
+        s = ll_flat / f_t
+        mx = jnp.max(jnp.where(discard_flat, -jnp.inf, s))
+        s = jnp.where(s <= mx - thresh, -jnp.inf, s)
+        w = jnp.exp(s - mx)
+        w = jnp.where(discard_flat, 0.0, w)
+        return w, mx
+
+    def step(state: GenomeState, key, params: RippeParams, l_t, f_a, f_t):
+        k_fwd, k_acc = jax.random.split(key)
+        nb_ids, nb_valid = _neighbour_set(state, f_a, jump)
+
+        # ---- forward pass ----
+        cands_f, ll_f = scores_for(state, f_a, nb_ids, params)
+        discard_f = _impossibility_mask(state, f_a, nb_ids) | ~nb_valid[:, None]
+        w_f, max_f = weights(ll_f.reshape(-1), discard_f.reshape(-1), f_t,
+                             MTM_THRESH_OVERFLOW)
+        p_f = w_f / jnp.sum(w_f)
+        omega = jax.random.categorical(k_fwd, jnp.log(jnp.where(p_f > 0, p_f, 1e-30)))
+        sel_nb = omega // N_CANDIDATES
+        sel_op = omega % N_CANDIDATES
+        g_star = jax.tree.map(lambda x: x[sel_nb, sel_op], cands_f)
+        ll_star = ll_f.reshape(-1)[omega]
+        f_star = nb_ids[sel_nb]
+
+        # ---- backward pass: pivot at f*, same neighbour set
+        # (cuda_lib_gl.py:3010 passes V_set of fA) ----
+        _, ll_b = scores_for(g_star, f_star, nb_ids, params)
+        discard_b = _impossibility_mask(g_star, f_a, nb_ids) | ~nb_valid[:, None]
+        w_b, max_b = weights(ll_b.reshape(-1), discard_b.reshape(-1), f_t,
+                             MTM_THRESH_OVERFLOW)
+
+        ratio = jnp.exp(max_f - max_b) * jnp.sum(w_f) / jnp.sum(w_b)
+        accept = jnp.minimum(ratio, 1.0) >= jax.random.uniform(k_acc, ())
+        new_state = GenomeState(*[jnp.where(accept, a, b)
+                                  for a, b in zip(g_star, state)])
+        new_l = jnp.where(accept, ll_star, l_t)
+        return new_state, new_l, accept, new_state.n_contigs()
+
+    return step
+
+
+def make_mh_step(table: SubFragTable, obs, jump: JumpTable,
+                 ll_dtype=jnp.float32):
+    """Jitted plain Metropolis-Hastings step
+    (step_metropolis_hastings_s_a, cuda_lib_gl.py:2836-2934)."""
+    obs = jnp.asarray(obs, jnp.float32)
+
+    def scores_for(state, f_a, nb_ids, params):
+        cands = jax.vmap(lambda fb: mh_candidates(state, f_a, fb))(nb_ids)
+        ll = jax.vmap(jax.vmap(
+            lambda c: log_likelihood(c, table, obs, params, dtype=ll_dtype)))(cands)
+        return cands, ll.astype(jnp.float32)
+
+    def step(state: GenomeState, key, params: RippeParams, l_t, f_a, f_t):
+        k_fwd, k_acc = jax.random.split(key)
+        nb_ids, nb_valid = _neighbour_set(state, f_a, jump)
+
+        cands_f, ll_f = scores_for(state, f_a, nb_ids, params)
+        discard_f = _impossibility_mask(state, f_a, nb_ids) | ~nb_valid[:, None]
+        s = ll_f.reshape(-1) / f_t
+        mx = jnp.max(jnp.where(discard_f.reshape(-1), -jnp.inf, s))
+        s = jnp.maximum(s, mx - MH_THRESH_OVERFLOW)
+        s = s - jnp.min(s)
+        w = jnp.where(discard_f.reshape(-1), 0.0, jnp.exp(s))
+        p = w / jnp.sum(w)
+        omega = jax.random.categorical(k_fwd, jnp.log(jnp.where(p > 0, p, 1e-30)))
+        sel_nb, sel_op = omega // N_CANDIDATES, omega % N_CANDIDATES
+        g_star = jax.tree.map(lambda x: x[sel_nb, sel_op], cands_f)
+        ll_star = ll_f.reshape(-1)[omega]
+        p_fwd = p[omega]
+
+        # backward proposal probability of returning to the current genome
+        _, ll_b = scores_for(g_star, f_a, nb_ids, params)
+        discard_b = _impossibility_mask(g_star, f_a, nb_ids) | ~nb_valid[:, None]
+        sb = ll_b.reshape(-1) / f_t
+        mxb = jnp.max(jnp.where(discard_b.reshape(-1), -jnp.inf, sb))
+        target = jnp.maximum(l_t / f_t, mxb - MH_THRESH_OVERFLOW)
+        sb = jnp.maximum(sb, mxb - MH_THRESH_OVERFLOW)
+        target = target - jnp.min(sb)
+        sb = sb - jnp.min(sb)
+        wb = jnp.where(discard_b.reshape(-1), 0.0, jnp.exp(sb))
+        p_bwd = jnp.exp(target) / jnp.sum(wb)
+
+        ratio = jnp.exp((ll_star + p_bwd - l_t - p_fwd) / f_t)
+        accept = jnp.minimum(ratio, 1.0) >= jax.random.uniform(k_acc, ())
+        new_state = GenomeState(*[jnp.where(accept, a, b)
+                                  for a, b in zip(g_star, state)])
+        new_l = jnp.where(accept, ll_star, l_t)
+        return new_state, new_l, accept, new_state.n_contigs()
+
+    return step
+
+
+def make_mtm_cycle(table: SubFragTable, obs, jump: JumpTable, variant="mtm",
+                   ll_dtype=jnp.float32):
+    """One full MTM/MH cycle over a fragment order as a lax.scan
+    (the start_MTM inner loop, main_gl.py:361-379)."""
+    step = (make_mtm_step if variant == "mtm" else make_mh_step)(
+        table, obs, jump, ll_dtype)
+
+    @jax.jit
+    def cycle(state: GenomeState, key, params: RippeParams, frag_order, l_t, f_t):
+        def body(carry, f_a):
+            state, key, l_t = carry
+            key, sub = jax.random.split(key)
+            state, l_t, accepted, n_contigs = step(state, sub, params, l_t,
+                                                   f_a, f_t)
+            return (state, key, l_t), (l_t, accepted, n_contigs)
+
+        (state, key, l_t), (lls, accepts, n_contigs) = jax.lax.scan(
+            body, (state, key, l_t), frag_order)
+        return state, l_t, (lls, accepts, n_contigs)
+
+    return cycle

@@ -230,6 +230,57 @@ class Runner:
         return Assembly(state=state, params=params, table=self.table,
                         obs=self.obs, metrics=collected, level=self.level)
 
+    def run_mtm(self, n_cycles=None, variant="mtm", delta=5, progress=True,
+                assembly: Assembly | None = None) -> Assembly:
+        """MTM / MH refinement cycles (start_MTM, main_gl.py:344-399) —
+        typically run after EM on the current genome."""
+        import jax
+        import jax.numpy as jnp
+        from graal_tpu.core import mtm as mtm_mod
+
+        cfg = self.cfg
+        n_cycles = n_cycles or cfg.sampler.n_cycles
+        norm_vect = np.array([
+            np.sum(self.sub_soa["n_accu"][lo:hi + 1])
+            for lo, hi in self.bin_to_subs], np.float64)
+        jump = mtm_mod.build_jump_table(
+            self.bin_matrix, norm_vect, np.asarray(self.state.id_d),
+            self.state.n_frags, delta)
+        cycle = mtm_mod.make_mtm_cycle(self.table, self.obs, jump,
+                                       variant=variant)
+        state = assembly.state if assembly else self.state
+        params = assembly.params if assembly else self.params
+        key = jax.random.key(cfg.sampler.seed + 1)
+        l_t = jax.jit(lambda s, p: log_likelihood(s, self.table, self.obs, p))(
+            state, params)
+        collected = {"likelihood": [], "n_contigs": [], "accepts": [],
+                     "dist_init_genome": []}
+        n = state.n_frags
+        t0 = time.time()
+        for j in range(n_cycles):
+            key, k_perm, k_cycle = jax.random.split(key, 3)
+            order = jax.random.permutation(k_perm, n)
+            f_t = temperature_schedule(cfg.sampler, j, n_cycles)
+            state, l_t, (lls, accepts, ncs) = cycle(state, k_cycle, params,
+                                                    order, l_t, jnp.float32(f_t))
+            collected["likelihood"].extend(np.asarray(lls).tolist())
+            collected["n_contigs"].extend(np.asarray(ncs).tolist())
+            collected["accepts"].extend(np.asarray(accepts).tolist())
+            dist = dist_inter_genome(state, self.init_prev, self.init_next,
+                                     self.init_ori, self.orientable,
+                                     self.dist_skip)
+            collected["dist_init_genome"].extend([dist] * n)
+            if progress:
+                acc = int(np.sum(np.asarray(accepts)))
+                print(f"{variant} cycle {j}: loglik={float(l_t):.1f} "
+                      f"accepts={acc}/{n} "
+                      f"n_contigs={int(np.asarray(ncs)[-1])} dist={dist:.3f} "
+                      f"({time.time() - t0:.1f}s)", flush=True)
+        check_invariants(state)
+        self.state = state
+        return Assembly(state=state, params=params, table=self.table,
+                        obs=self.obs, metrics=collected, level=self.level)
+
     # ---- outputs ----------------------------------------------------------
     def save_behaviour(self, assembly: Assembly):
         """The reference's 9 txt series + mutation log
@@ -237,24 +288,27 @@ class Runner:
         out = self.cfg.output_dir
         m = assembly.metrics
         series = {
-            "list_likelihood.txt": m["likelihood"],
-            "list_n_contigs.txt": m["n_contigs"],
-            "list_dist_init_genome.txt": m["dist_init_genome"],
-            "list_fact.txt": m["fact"],
-            "list_slope.txt": m["slope"],
-            "list_d_max.txt": m["d_max"],
-            "list_d_nuc.txt": m["v_inter"],
-            "list_success.txt": m["success"],
+            "list_likelihood.txt": m.get("likelihood", []),
+            "list_n_contigs.txt": m.get("n_contigs", []),
+            "list_dist_init_genome.txt": m.get("dist_init_genome", []),
+            "list_fact.txt": m.get("fact", []),
+            "list_slope.txt": m.get("slope", []),
+            "list_d_max.txt": m.get("d_max", []),
+            "list_d_nuc.txt": m.get("v_inter", []),
+            "list_success.txt": m.get("success", []),
             "list_mean_len.txt": m.get("mean_len", []),
         }
         for name, vals in series.items():
             with open(os.path.join(out, "0" + name), "w") as fh:
                 for v in vals:
+                    if isinstance(v, (bool, np.bool_)):
+                        v = int(v)   # 0/1 like the reference series
                     fh.write(f"{v}\n")
         with open(os.path.join(out, "0list_mutations.txt"), "w") as fh:
             fh.write("id_fA\tid_fB\tid_mutation\n")
-            for fa, fb, op in zip(m["id_f_a"], m["id_f_sampled"],
-                                  m["op_sampled"]):
+            for fa, fb, op in zip(m.get("id_f_a", []),
+                                  m.get("id_f_sampled", []),
+                                  m.get("op_sampled", [])):
                 fh.write(f"{fa}\t{fb}\t{op}\n")
         with open(os.path.join(out, "params.json"), "w") as fh:
             json.dump({k: float(v) for k, v in

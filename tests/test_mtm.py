@@ -1,0 +1,91 @@
+"""MTM / MH sampler tests on synthetic ground-truth data."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from graal_tpu.core import mtm, mcmc, likelihood
+from graal_tpu.core.state import GenomeState, check_invariants
+from tests.test_mcmc import make_problem
+
+
+@pytest.fixture(scope="module")
+def problem():
+    return make_problem(seed=2, n=16)
+
+
+def make_jump(problem, delta=4):
+    state, table, params, obs = problem
+    n = state.n_frags
+    return mtm.build_jump_table(obs, np.ones(n), np.arange(n), n, delta)
+
+
+def test_jump_table_picks_strong_partners(problem):
+    state, table, params, obs = problem
+    jump = make_jump(problem)
+    # for a mid-chain fragment, the adjacent fragments have the most
+    # contacts and must appear among its partners
+    partners = set(np.asarray(jump.frags[5]).tolist())
+    assert partners & {4, 6}
+
+
+@pytest.mark.parametrize("variant", ["mtm", "mh"])
+def test_cycle_refines_perturbed_genome(problem, variant):
+    """MTM/MH are refinement samplers: from a fully scrambled start the MTM
+    ratio rejects everything (the backward candidate sum from an improved
+    genome dominates — the reference behaves identically); from a genome a
+    few mutations away from the truth they must accept moves and climb."""
+    state, table, params, obs = problem
+    n = state.n_frags
+    jump = make_jump(problem)
+    cycle = mtm.make_mtm_cycle(table, obs, jump, variant=variant)
+
+    rng = np.random.default_rng(5)
+    cur = state
+    apply_jit = jax.jit(mcmc.apply_mutation)
+    for _ in range(4):
+        cur = apply_jit(cur, int(rng.integers(n)), int(rng.integers(n)),
+                        int(rng.integers(13)))
+    ll0 = float(likelihood.log_likelihood(cur, table, obs, params))
+    ll_true = float(likelihood.log_likelihood(state, table, obs, params))
+    assert ll0 < ll_true
+
+    l_t = jnp.float32(ll0)
+    key = jax.random.key(1)
+    total_accepts = 0
+    for j in range(6):
+        key, k1, k2 = jax.random.split(key, 3)
+        order = jax.random.permutation(k1, n)
+        cur, l_t, (lls, accepts, ncs) = cycle(cur, k2, params, order, l_t,
+                                              jnp.float32(1.0))
+        total_accepts += int(np.sum(np.asarray(accepts)))
+    check_invariants(cur)
+    final = float(l_t)
+    assert total_accepts >= 5, f"{variant}: only {total_accepts} accepts"
+    assert final > ll0 + 0.3 * (ll_true - ll0), \
+        f"{variant}: pert={ll0:.1f} final={final:.1f} true={ll_true:.1f}"
+    # the tracked likelihood must match a fresh evaluation of the state
+    fresh = float(likelihood.log_likelihood(cur, table, obs, params))
+    np.testing.assert_allclose(final, fresh, rtol=1e-4)
+
+
+def test_impossibility_mask(problem):
+    state, table, params, obs = problem
+    # fragment 5 is mid-chain: paste and translocs with it must be masked
+    nb = jnp.asarray([5, 0, 7], jnp.int32)  # 0 = head, 7 = tail of contig 0
+    mask = mtm._impossibility_mask(state, jnp.int32(3), nb)
+    m = np.asarray(mask)
+    assert m[0, 8] and m[0, 9] and m[0, 10]     # mid-chain fB: all masked
+    # fA=3 is mid-chain too so paste masked everywhere
+    assert m[1, 8] and m[2, 8]
+    assert not m[1, 10] and not m[1, 12]        # fB=0 head: up-split ok
+    assert not m[2, 9] and not m[2, 11]         # fB=7 tail: down-split ok
+
+
+def test_prev_next_derivation(problem):
+    state, table, params, obs = problem
+    prev, nxt = mtm._prev_next(state, jnp.int32(3))
+    assert int(prev) == 2 and int(nxt) == 4
+    prev0, _ = mtm._prev_next(state, jnp.int32(0))
+    assert int(prev0) == -1
