@@ -33,7 +33,10 @@ def main():
     n_bins = 384
     delta = 4
     state, table, params, obs, nb = _problem(n_bins=n_bins)
-    cycle = mcmc.make_em_cycle(table, obs, nb, delta=delta, sample_param=False)
+    from graal_tpu.ops.likelihood_pallas import make_pallas_scorer
+    scorer = make_pallas_scorer(table, obs)
+    cycle = mcmc.make_em_cycle(table, obs, nb, delta=delta, sample_param=False,
+                               scorer=scorer)
 
     from graal_tpu.core.likelihood import log_likelihood
     scrambled = jax.jit(mcmc.explode_genome)(state)

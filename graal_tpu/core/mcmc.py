@@ -153,11 +153,16 @@ def select_score_slot(key, score, valid_nb, f_t):
 
 
 def make_em_step(table: SubFragTable, obs, nb: NeighbourTable, delta: int,
-                 ll_dtype=jnp.float32):
+                 ll_dtype=jnp.float32, scorer=None):
     """Build the jitted single-fragment EM step.
 
     Returns step(state, key, params, f_a, f_t) ->
     (new_state, (score_sel, op_sel, fb_sel)).
+
+    ``scorer``: optional batched likelihood fn
+    ``(GenomeState batch, params) -> (B,)`` (e.g. the Pallas kernel,
+    graal_tpu.ops.likelihood_pallas.make_pallas_scorer); defaults to the
+    vmapped jnp implementation.
     """
     obs = jnp.asarray(obs, jnp.float32)
 
@@ -166,8 +171,14 @@ def make_em_step(table: SubFragTable, obs, nb: NeighbourTable, delta: int,
         ids, valid = sample_neighbours(k_nb, f_a, state, nb, delta)
 
         cands = jax.vmap(lambda fb: build_candidates(state, f_a, fb))(ids)
-        ll = jax.vmap(jax.vmap(
-            lambda c: log_likelihood(c, table, obs, params, dtype=ll_dtype)))(cands)
+        if scorer is not None:
+            m = ids.shape[0]
+            flat = jax.tree.map(
+                lambda x: x.reshape((m * N_CANDIDATES,) + x.shape[2:]), cands)
+            ll = scorer(flat, params).reshape(m, N_CANDIDATES)
+        else:
+            ll = jax.vmap(jax.vmap(
+                lambda c: log_likelihood(c, table, obs, params, dtype=ll_dtype)))(cands)
 
         sel = select_score_slot(k_sel, ll.astype(jnp.float32), valid, f_t)
         sel_nb = sel // N_CANDIDATES
@@ -294,11 +305,12 @@ class CycleMetrics(NamedTuple):
 
 
 def make_em_cycle(table: SubFragTable, obs, nb: NeighbourTable, delta: int,
-                  sample_param: bool = True, ll_dtype=jnp.float32):
+                  sample_param: bool = True, ll_dtype=jnp.float32,
+                  scorer=None):
     """One EM cycle (all fragments in the given order) as a single scan —
     the device-side equivalent of the start_EM inner loop
     (main_gl.py:225-278)."""
-    em_step = make_em_step(table, obs, nb, delta, ll_dtype)
+    em_step = make_em_step(table, obs, nb, delta, ll_dtype, scorer=scorer)
     nuis_step = make_nuisance_step(table, obs, ll_dtype)
 
     @jax.jit

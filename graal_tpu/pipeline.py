@@ -189,9 +189,15 @@ class Runner:
 
         cfg = self.cfg
         n_cycles = n_cycles or cfg.sampler.n_cycles
+        scorer = None
+        if not self.table.has_repeats and jax.default_backend() != "cpu":
+            # Pallas fast path (TPU, repeat-free geometry)
+            from graal_tpu.ops.likelihood_pallas import make_pallas_scorer
+            scorer = make_pallas_scorer(self.table, self.obs)
         cycle = mcmc.make_em_cycle(self.table, self.obs, self.nb,
                                    delta=cfg.sampler.n_neighbours,
-                                   sample_param=cfg.sampler.sample_param)
+                                   sample_param=cfg.sampler.sample_param,
+                                   scorer=scorer)
         state = self.state
         if cfg.sampler.scrambled:
             state = jax.jit(mcmc.explode_genome)(state)
