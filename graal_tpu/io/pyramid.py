@@ -24,7 +24,7 @@ import shutil
 import numpy as np
 import scipy.sparse as sp
 
-from graal_tpu.io import formats
+from graal_tpu.io import formats, native_io
 from graal_tpu.io.formats import FragmentTable
 
 
@@ -321,7 +321,7 @@ def build_and_filter(base_folder: str, size_pyramid: int, factor: int,
             os.path.join(base_folder, "fragments_list.txt"))
         contig_names, lkb, nfr, cum = formats.read_contig_info(
             os.path.join(base_folder, "info_contigs.txt"))
-        rows, cols, counts = formats.raw_pairs_to_coo(pairs)
+        rows, cols, counts = native_io.raw_pairs_to_coo(pairs)
 
         frags, old_to_new, cinfo, coo = filter_fragments(
             raw_frags, contig_names, rows, cols, counts)
@@ -331,7 +331,7 @@ def build_and_filter(base_folder: str, size_pyramid: int, factor: int,
 
     # iterate levels
     frags = formats.read_fragments_list(lv0_frag_file)
-    rows, cols, counts = formats.read_coo(lv0_coo_file)
+    rows, cols, counts = native_io.read_coo(lv0_coo_file)
     _store_level(h5_path, 0, rows, cols, counts, frags.n_frags)
 
     for lv in range(1, size_pyramid):
@@ -341,7 +341,7 @@ def build_and_filter(base_folder: str, size_pyramid: int, factor: int,
         coo_file = os.path.join(d, f"{lv}_abs_frag_contacts.txt")
         if os.path.exists(frag_file) and os.path.exists(coo_file):
             frags = formats.read_fragments_list(frag_file)
-            rows, cols, counts = formats.read_coo(coo_file)
+            rows, cols, counts = native_io.read_coo(coo_file)
         else:
             frags, old_to_new, cinfo, (rows, cols, counts) = subsample_level(
                 frags, {}, factor, rows, cols, counts, min_bin_per_contig)
