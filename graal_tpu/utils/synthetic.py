@@ -94,11 +94,12 @@ def bin_level_matrix(obs: np.ndarray, table: SubFragTable) -> np.ndarray:
     data_id = np.asarray(table.data_id)
     owner = np.asarray(table.owner)
     n_bins = int(owner.max()) + 1
-    # map data sub -> bin (no repeats: owner is the bin)
+    # map data sub -> bin (no repeats: owner is the bin); bins own contiguous
+    # sub ranges, so the group sums are two reduceat passes.
     sub_bin = np.zeros(obs.shape[0], np.int64)
     sub_bin[data_id] = owner
-    out = np.zeros((n_bins, n_bins), np.float32)
-    np.add.at(out, (sub_bin[:, None].repeat(obs.shape[0], 1),
-                    sub_bin[None, :].repeat(obs.shape[0], 0)), obs)
+    starts = np.searchsorted(sub_bin, np.arange(n_bins))
+    rows = np.add.reduceat(np.asarray(obs, np.float64), starts, axis=0)
+    out = np.add.reduceat(rows, starts, axis=1).astype(np.float32)
     np.fill_diagonal(out, 0.0)
     return out
