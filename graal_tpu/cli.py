@@ -32,9 +32,20 @@ def _add_run_opts(p):
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--t0", type=float, default=1.0)
     p.add_argument("--tf", type=float, default=1.0)
+    p.add_argument("--resume", action="store_true",
+                   help="resume the EM stage from <out>/checkpoint.npz")
+    p.add_argument("--sub-sample", type=float, default=0.0,
+                   help="Poisson sub-sampling factor in (0,1] for coverage-"
+                        "robustness experiments")
+    p.add_argument("--snapshots", action="store_true",
+                   help="save reordered matrix snapshots before/after")
     p.add_argument("--sampler", default="em",
-                   help="comma-separated stages: em, mtm, mh "
+                   help="comma-separated stages: em, tempered, mtm, mh "
                         "(e.g. 'em,mtm' = EM then MTM refinement)")
+    p.add_argument("--chains", type=int, default=4,
+                   help="chain count for the 'tempered' stage")
+    p.add_argument("--t-max", type=float, default=4.0,
+                   help="hottest ladder temperature for 'tempered'")
     p.add_argument("--out", default="graal_out")
     p.add_argument("--platform", default="",
                    help="jax platform override (e.g. cpu)")
@@ -63,6 +74,7 @@ def _config_from_args(args):
     cfg.sampler.seed = args.seed
     cfg.sampler.t0 = args.t0
     cfg.sampler.tf = args.tf
+    cfg.sampler.sub_sample_factor = getattr(args, "sub_sample", 0.0)
     return cfg
 
 
@@ -88,21 +100,28 @@ def cmd_run(args):
           f"({len(runner.duplications)} repeated)")
     print("fitted params:", json.dumps({k: float(v) for k, v in zip(
         runner.params._fields, runner.params)}))
+    if args.snapshots:
+        runner.save_matrix_snapshot("pre_assembly")
     assembly = None
     merged = {}
     for stage in args.sampler.split(","):
         if stage == "em":
-            assembly = runner.run_em()
+            assembly = runner.run_em(resume=args.resume)
+        elif stage == "tempered":
+            assembly = runner.run_tempered_em(n_chains=args.chains,
+                                              t_max=args.t_max)
         elif stage in ("mtm", "mh"):
             assembly = runner.run_mtm(variant=stage, assembly=assembly)
         else:
             raise SystemExit(f"unknown sampler stage: {stage!r} "
-                             "(expected em, mtm or mh)")
+                             "(expected em, tempered, mtm or mh)")
         for k, v in assembly.metrics.items():
             merged.setdefault(k, []).extend(v)
     assembly.metrics.clear()
     assembly.metrics.update(merged)
     runner.save_behaviour(assembly)
+    if args.snapshots:
+        runner.save_matrix_snapshot("post_assembly", assembly.state)
     if args.fasta:
         contigs = runner.export_fasta(assembly, args.fasta)
         print(f"wrote {len(contigs)} contigs to "

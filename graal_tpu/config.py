@@ -39,6 +39,7 @@ class SamplerConfig:
     allow_repeats: bool = False    # repeat duplication (simulation_loader.py:380)
     scrambled: bool = True         # explode genome before sampling (main_gl.py:218)
     blacklist_contigs: tuple = ()  # contig ids to freeze (simulation_loader.py:129)
+    sub_sample_factor: float = 0.0 # Poisson coverage sub-sampling (cuda_lib_gl.py:667)
     seed: int = 1                  # RNG seed (cuda_lib_gl.py:364)
     # temperature schedule; the reference hard-codes T=1.0 with a geometric
     # schedule commented out (cuda_lib_gl.py:2590-2603)

@@ -185,6 +185,8 @@ def estimate_param_rippe(y_meas, x_bins, d=DEFAULT_D):
     initial guess (optim_rippe_curve_update.py:73-115). Returns
     ([kuhn, lm, slope, d, A], y_estim).
     """
+    import warnings
+
     from scipy.optimize import leastsq
 
     y_meas = np.asarray(y_meas, np.float64)
@@ -192,7 +194,11 @@ def estimate_param_rippe(y_meas, x_bins, d=DEFAULT_D):
     kuhn, lm, slope = 1.0, 9.6, -1.5
     A = float(np.sum(y_meas))
     p0 = [kuhn, lm, slope, A]
-    plsq = leastsq(log_residuals, p0, args=(np.log(y_meas), x_bins))
+    with warnings.catch_warnings():
+        # the optimiser legitimately wanders through invalid parameter
+        # regions (log of negatives); the NaN fallback below handles failure
+        warnings.simplefilter("ignore", RuntimeWarning)
+        plsq = leastsq(log_residuals, p0, args=(np.log(y_meas), x_bins))
     kuhn_x, lm_x, slope_x, A_x = plsq[0]
     plsq_out = [kuhn_x, lm_x, slope_x, d, A_x]
     if np.any(np.isnan(np.array(plsq_out))):
@@ -209,12 +215,16 @@ def estimate_max_dist_intra(p, val_inter):
     crossover is far from the s0=500 start (flat-gradient region); verify
     the root and fall back to log-space bisection.
     """
+    import warnings
+
     from scipy.optimize import fsolve
 
     def residual(x):
         return val_inter - peval(x, p)
 
-    x = float(fsolve(residual, 500.0)[0])
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        x = float(fsolve(residual, 500.0)[0])
     if np.isfinite(x) and x > 0 and abs(peval(x, p) - val_inter) <= 1e-3 * abs(val_inter):
         return x
     lo, hi = 1e-2, 1e7

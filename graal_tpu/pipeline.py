@@ -119,6 +119,16 @@ class Runner:
         self.obs = self.sub_level.dense_matrix()
         np.fill_diagonal(self.obs, 0.0)
         self.mean_value_trans = self.sub_level.mean_value_trans()
+        # Poisson sub-sampling robustness knob (gen_rand_mat kernels3.cu:61-77,
+        # update_texture_4_sub cuda_lib_gl.py:667-693): resample every cell
+        # with mean fact * obs.
+        fact = getattr(self.cfg.sampler, "sub_sample_factor", 0.0)
+        if 0.0 < fact <= 1.0:
+            rng = np.random.default_rng(self.cfg.sampler.seed)
+            sub = rng.poisson(np.maximum(np.triu(self.obs, 1) * fact, 0.0))
+            self.obs = (sub + sub.T).astype(np.float32)
+            binsub = rng.poisson(np.maximum(np.triu(self.bin_matrix, 1) * fact, 0.0))
+            self.bin_matrix = (binsub + binsub.T).astype(np.float32)
 
     def _setup_state(self):
         cfg = self.cfg
@@ -183,9 +193,11 @@ class Runner:
                 mean_dist_kb * self.cfg.model.max_dist_bins_factor, size_bin_kb)
 
     # ---- run --------------------------------------------------------------
-    def run_em(self, n_cycles=None, progress=True) -> Assembly:
+    def run_em(self, n_cycles=None, progress=True, resume=False,
+               checkpoint_every=1) -> Assembly:
         import jax
         import jax.numpy as jnp
+        from graal_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
         cfg = self.cfg
         n_cycles = n_cycles or cfg.sampler.n_cycles
@@ -203,6 +215,13 @@ class Runner:
             state = jax.jit(mcmc.explode_genome)(state)
         params = self.params
         key = jax.random.key(cfg.sampler.seed)
+        start_cycle = 0
+        ckpt_path = os.path.join(cfg.output_dir, "checkpoint.npz")
+        if resume and os.path.exists(ckpt_path):
+            state, params, start_cycle, key, _ = load_checkpoint(ckpt_path)
+            if progress:
+                print(f"resumed from {ckpt_path} at cycle {start_cycle}",
+                      flush=True)
         l_t = jax.jit(lambda s, p: log_likelihood(s, self.table, self.obs, p))(
             state, params)
 
@@ -212,7 +231,7 @@ class Runner:
                                      "dist_init_genome")}
         n = state.n_frags
         t0 = time.time()
-        for j in range(n_cycles):
+        for j in range(start_cycle, n_cycles):
             key, k_perm, k_cycle = jax.random.split(key, 3)
             order = jax.random.permutation(k_perm, n)
             f_t = temperature_schedule(cfg.sampler, j, n_cycles)
@@ -230,11 +249,44 @@ class Runner:
                       f"n_contigs={int(np.asarray(m.n_contigs)[-1])} "
                       f"dist={dist:.3f} T={f_t:.2f} "
                       f"({time.time() - t0:.1f}s)", flush=True)
+            if checkpoint_every and (j + 1) % checkpoint_every == 0:
+                save_checkpoint(ckpt_path, state, params, j + 1, key)
         check_invariants(state)
         self.state = state
         self.params = params
         return Assembly(state=state, params=params, table=self.table,
                         obs=self.obs, metrics=collected, level=self.level)
+
+    def run_tempered_em(self, n_chains=None, n_cycles=None, t_max=4.0,
+                        exchange_every=2, progress=True) -> Assembly:
+        """Parallel-tempered multi-chain EM; uses a device mesh when enough
+        devices are available, else vmapped chains on one chip."""
+        import jax
+        from graal_tpu.parallel import make_mesh
+        from graal_tpu.parallel.tempering import run_tempered
+
+        cfg = self.cfg
+        n_chains = n_chains or max(cfg.n_chains, 1)
+        n_cycles = n_cycles or cfg.sampler.n_cycles
+        n_dev = len(jax.devices())
+        mesh = None
+        if n_chains > 1 and n_dev >= n_chains and n_dev % n_chains == 0:
+            mesh = make_mesh(n_chains=n_chains, n_rows=n_dev // n_chains)
+        state = self.state
+        if cfg.sampler.scrambled:
+            state = jax.jit(mcmc.explode_genome)(state)
+        final, l_cold, trace = run_tempered(
+            self.table, self.obs, self.nb, state, self.params,
+            n_chains=n_chains, n_cycles=n_cycles,
+            delta=cfg.sampler.n_neighbours, t_max=t_max,
+            exchange_every=exchange_every, seed=cfg.sampler.seed,
+            mesh=mesh, progress=progress)
+        check_invariants(final)
+        self.state = final
+        metrics = {"likelihood": trace[:, 0].tolist(),
+                   "n_contigs": [], "dist_init_genome": []}
+        return Assembly(state=final, params=self.params, table=self.table,
+                        obs=self.obs, metrics=metrics, level=self.level)
 
     def run_mtm(self, n_cycles=None, variant="mtm", delta=5, progress=True,
                 assembly: Assembly | None = None) -> Assembly:
@@ -319,6 +371,66 @@ class Runner:
         with open(os.path.join(out, "params.json"), "w") as fh:
             json.dump({k: float(v) for k, v in
                        zip(RippeParams._fields, assembly.params)}, fh, indent=2)
+
+    def save_matrix_snapshot(self, name: str, state: GenomeState | None = None):
+        """Observed bin matrix reordered by the current genome
+        (display_current_matrix, cuda_lib_gl.py:1581-1624): rows/cols sorted
+        by (contig, position), contigs with inactive fragments skipped.
+        Saves <out>/<name>.npy and, when matplotlib is available,
+        <name>.png."""
+        state = state if state is not None else self.state
+        id_c = np.asarray(state.id_c)
+        pos = np.asarray(state.pos)
+        activ = np.asarray(state.activ)
+        id_d = np.asarray(state.id_d)
+        order = []
+        for c in np.unique(id_c):
+            members = np.nonzero(id_c == c)[0]
+            if not np.all(activ[members] == 1):
+                continue
+            order.extend(id_d[members[np.argsort(pos[members])]].tolist())
+        m = self.bin_matrix[np.ix_(order, order)]
+        out = os.path.join(self.cfg.output_dir, name)
+        np.save(out + ".npy", m)
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            vmax = np.percentile(m[m > 0], 98) if (m > 0).any() else 1.0
+            plt.figure(figsize=(6, 6), dpi=120)
+            plt.imshow(m, vmin=0, vmax=vmax, cmap="afmhot_r",
+                       interpolation="nearest")
+            plt.title(name)
+            plt.colorbar(shrink=0.7)
+            plt.savefig(out + ".png", bbox_inches="tight")
+            plt.close()
+        except Exception:
+            pass
+        return out
+
+    def probe_fragment(self, f_a: int, delta: int = None):
+        """Likelihood-landscape probe: score all 13 ops against every
+        neighbour of ``f_a`` (the reference's test_model / new_test_model
+        diagnostics, main_gl.py:414-661). Returns (neighbour ids, valid
+        mask, (M, 13) scores)."""
+        import jax
+        import jax.numpy as jnp
+        from graal_tpu.core.candidates import build_candidates
+
+        delta = delta or self.cfg.sampler.n_neighbours
+        step_in = (self.state, jax.random.key(0), self.params,
+                   jnp.int32(f_a), jnp.float32(1.0))
+
+        @jax.jit
+        def probe(state, key, params, f_a, f_t):
+            ids, valid = mcmc.sample_neighbours(key, f_a, state, self.nb, delta)
+            cands = jax.vmap(lambda fb: build_candidates(state, f_a, fb))(ids)
+            ll = jax.vmap(jax.vmap(lambda c: log_likelihood(
+                c, self.table, jnp.asarray(self.obs, jnp.float32), params)))(cands)
+            return ids, valid, ll
+
+        ids, valid, ll = probe(*step_in)
+        return np.asarray(ids), np.asarray(valid), np.asarray(ll)
 
     def export_fasta(self, assembly: Assembly, genome_fasta: str):
         """Assembled genome FASTA + info_frags.txt
