@@ -294,6 +294,7 @@ def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32):
 class CycleMetrics(NamedTuple):
     likelihood: jnp.ndarray
     n_contigs: jnp.ndarray
+    mean_len: jnp.ndarray      # mean contig length in bp (main_gl.py:1813)
     op_sampled: jnp.ndarray
     id_f_sampled: jnp.ndarray
     id_f_a: jnp.ndarray
@@ -324,8 +325,10 @@ def make_em_cycle(table: SubFragTable, obs, nb: NeighbourTable, delta: int,
                 params, l_t, success = nuis_step(state, k_nuis, params, l_t, f_t)
             else:
                 success = jnp.bool_(True)
+            n_contigs = state.n_contigs()
             metrics = CycleMetrics(
-                likelihood=l_t, n_contigs=state.n_contigs(),
+                likelihood=l_t, n_contigs=n_contigs,
+                mean_len=jnp.sum(state.len_bp).astype(jnp.float32) / n_contigs,
                 op_sampled=op, id_f_sampled=fb, id_f_a=f_a,
                 fact=params.fact, slope=params.slope, d_max=params.d_max,
                 v_inter=params.v_inter, success=success)

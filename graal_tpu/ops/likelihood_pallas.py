@@ -79,6 +79,15 @@ def _ll_kernel(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r, la_c,
     def _():
         out_ref[c] = 0.0
 
+    # tiles strictly below the diagonal are fully masked — skip their compute
+    @pl.when(j >= i)
+    def _compute():
+        _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r, la_c,
+                   obs_tile, p_ref, out_ref, c, i, j, k_real)
+
+
+def _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r, la_c,
+               obs_tile, p_ref, out_ref, c, i, j, k_real):
     log_c1fact = p_ref[0]
     slope = p_ref[1]
     d = p_ref[2]

@@ -225,10 +225,10 @@ class Runner:
         l_t = jax.jit(lambda s, p: log_likelihood(s, self.table, self.obs, p))(
             state, params)
 
-        collected = {k: [] for k in ("likelihood", "n_contigs", "op_sampled",
-                                     "id_f_sampled", "id_f_a", "fact", "slope",
-                                     "d_max", "v_inter", "success",
-                                     "dist_init_genome")}
+        collected = {k: [] for k in ("likelihood", "n_contigs", "mean_len",
+                                     "op_sampled", "id_f_sampled", "id_f_a",
+                                     "fact", "slope", "d_max", "v_inter",
+                                     "success", "dist_init_genome")}
         n = state.n_frags
         t0 = time.time()
         for j in range(start_cycle, n_cycles):
@@ -237,8 +237,9 @@ class Runner:
             f_t = temperature_schedule(cfg.sampler, j, n_cycles)
             state, params, l_t, m = cycle(state, k_cycle, params, order, l_t,
                                           jnp.float32(f_t))
-            for k in ("likelihood", "n_contigs", "op_sampled", "id_f_sampled",
-                      "id_f_a", "fact", "slope", "d_max", "v_inter", "success"):
+            for k in ("likelihood", "n_contigs", "mean_len", "op_sampled",
+                      "id_f_sampled", "id_f_a", "fact", "slope", "d_max",
+                      "v_inter", "success"):
                 collected[k].extend(np.asarray(getattr(m, k)).tolist())
             dist = dist_inter_genome(state, self.init_prev, self.init_next,
                                      self.init_ori, self.orientable,
