@@ -23,6 +23,9 @@ def _add_run_opts(p):
     p.add_argument("--factor", type=int, default=3)
     p.add_argument("--level", type=int, default=None,
                    help="sampling level (default: size-1)")
+    p.add_argument("--to-level", type=int, default=None,
+                   help="multilevel refinement: assemble at --level, then "
+                        "refine level by level down to this level")
     p.add_argument("--cycles", type=int, default=10)
     p.add_argument("--neighbours", type=int, default=4)
     p.add_argument("--no-sample-param", action="store_true")
@@ -94,6 +97,14 @@ def cmd_run(args):
     from graal_tpu.pipeline import Runner
 
     cfg = _config_from_args(args)
+    if args.to_level is not None and args.to_level < cfg.sampler.level:
+        from graal_tpu.multilevel import run_multilevel
+
+        runner, assembly = run_multilevel(cfg, cfg.sampler.level,
+                                          args.to_level, fasta=args.fasta)
+        runner.save_behaviour(assembly)
+        print(f"outputs in {cfg.output_dir}")
+        return 0
     runner = Runner(cfg)
     print(f"level {runner.level.level}: {runner.level.n_frags} bins, "
           f"{runner.state.n_frags} fragments "

@@ -56,6 +56,7 @@ def build_neighbour_table(bin_matrix, id_d, n_frags, blacklisted=(),
     m = np.array(bin_matrix, np.float32)
     np.fill_diagonal(m, 0.0)
     n_bins = m.shape[0]
+    n_top = max(1, min(n_top, n_bins - 1))   # tiny coarse levels
     xk = np.zeros((n_bins, n_top), np.int32)
     pk = np.zeros((n_bins, n_top), np.float32)
     for i in range(n_bins):
