@@ -74,4 +74,17 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # The TPU tunnel occasionally drops a run with a transient device error;
+    # retry twice before giving up so the driver records a number.
+    for attempt in range(3):
+        try:
+            main()
+            break
+        except Exception as e:  # noqa: BLE001
+            if attempt == 2:
+                raise
+            import sys
+            import time as _t
+            print(f"bench attempt {attempt} failed ({type(e).__name__}); "
+                  "retrying in 20s", file=sys.stderr)
+            _t.sleep(20)

@@ -82,8 +82,33 @@ def _ll_kernel(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r, la_c,
     # tiles strictly below the diagonal are fully masked — skip their compute
     @pl.when(j >= i)
     def _compute():
-        _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r, la_c,
-                   obs_tile, p_ref, out_ref, c, i, j, k_real)
+        # Tiles with no same-contig pair are pure trans: the expectation is
+        # v_inter * accu_u * accu_v / nfpb — no Rippe evaluation at all.
+        # Early in assembly (small contigs) most off-diagonal tiles qualify.
+        any_same = jnp.any(idc_r[c, :][:, None] == idc_c[c, :][None, :])
+
+        @pl.when(any_same)
+        def _full():
+            _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r,
+                       la_c, obs_tile, p_ref, out_ref, c, i, j, k_real)
+
+        @pl.when(jnp.logical_not(any_same))
+        def _trans():
+            _trans_tile_body(la_r, la_c, obs_tile, p_ref, out_ref, c, i, j,
+                             k_real)
+
+
+def _trans_tile_body(la_r, la_c, obs_tile, p_ref, out_ref, c, i, j, k_real):
+    """Pure-trans tile: contrib = ob * (log_v + la) - v_inter * exp(la)."""
+    log_v = p_ref[5]
+    v_inter = p_ref[6]
+    log_nfpb = p_ref[9]
+    la = la_r[c, :][:, None] + la_c[c, :][None, :] - log_nfpb
+    contrib = obs_tile[:, :] * (log_v + la) - v_inter * jnp.exp(la)
+    row_g = i * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 0)
+    col_g = j * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 1)
+    mask = (col_g > row_g) & (row_g < k_real) & (col_g < k_real)
+    out_ref[c] += jnp.sum(jnp.where(mask, contrib, 0.0))
 
 
 def _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r, la_c,

@@ -433,6 +433,31 @@ class Runner:
         ids, valid, ll = probe(*step_in)
         return np.asarray(ids), np.asarray(valid), np.asarray(ll)
 
+    def scan_parameter(self, name: str, values) -> np.ndarray:
+        """Likelihood of the current genome over a grid of one model
+        parameter — the reference's d_space / alpha_space scan machinery
+        (modify_param_simu kernels3.cu:95-119, scan buffers
+        cuda_lib_gl.py:426-438). Dependent parameters (c1) are re-derived
+        for slope/kuhn/lm scans."""
+        import jax
+        import jax.numpy as jnp
+
+        if name not in RippeParams._fields:
+            raise ValueError(f"unknown parameter {name!r}; "
+                            f"one of {RippeParams._fields}")
+        values = jnp.asarray(np.asarray(values, np.float32))
+
+        def with_value(v):
+            p = self.params._replace(**{name: v})
+            if name in ("slope", "kuhn", "lm"):
+                c1 = (0.53 * jnp.power(p.lm / p.kuhn, p.slope)
+                      * jnp.power(p.kuhn, -3.0)).astype(jnp.float32)
+                p = p._replace(c1=c1)
+            return log_likelihood(self.state, self.table,
+                                  jnp.asarray(self.obs, jnp.float32), p)
+
+        return np.asarray(jax.jit(jax.vmap(with_value))(values))
+
     def export_fasta(self, assembly: Assembly, genome_fasta: str):
         """Assembled genome FASTA + info_frags.txt
         (export_new_fasta, simulation_loader.py:781-783)."""

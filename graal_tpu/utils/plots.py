@@ -1,0 +1,92 @@
+"""Post-hoc run analysis: summary figures from an output directory.
+
+The reference ships a separate analyzer that reads its 8 txt series and
+plots histograms/figures (plot_results_simu.py) plus per-run pdf plots
+(simulation_loader.plot_info_simu :722-758). This module renders one
+summary panel per run directory. Headless (Agg backend), optional —
+degrades to a no-op message when matplotlib is unavailable.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+SERIES = [
+    ("0list_likelihood.txt", "log-likelihood"),
+    ("0list_n_contigs.txt", "n contigs"),
+    ("0list_dist_init_genome.txt", "distance to initial genome"),
+    ("0list_mean_len.txt", "mean contig length (bp)"),
+    ("0list_fact.txt", "scale factor"),
+    ("0list_slope.txt", "slope"),
+    ("0list_d_max.txt", "max cis distance (kb)"),
+    ("0list_d_nuc.txt", "v_inter"),
+]
+
+
+def _load(path):
+    import warnings
+
+    try:
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")   # empty series files are fine
+            data = np.loadtxt(path)
+        return data if data.size else None
+    except (OSError, ValueError):
+        return None
+
+
+def summarize_run(output_dir: str, out_name: str = "summary.png") -> str | None:
+    """Render the run-summary panel; returns the written path or None."""
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        print("matplotlib unavailable; skipping summary plot")
+        return None
+
+    loaded = [(title, _load(os.path.join(output_dir, name)))
+              for name, title in SERIES]
+    loaded = [(t, d) for t, d in loaded if d is not None and np.ndim(d) > 0
+              and len(d) > 1]
+    if not loaded:
+        print(f"no series found in {output_dir}")
+        return None
+
+    ncols = 2
+    nrows = (len(loaded) + 1) // 2
+    fig, axes = plt.subplots(nrows, ncols, figsize=(11, 2.6 * nrows),
+                             dpi=110, squeeze=False)
+    for ax, (title, data) in zip(axes.reshape(-1), loaded):
+        ax.plot(data, lw=0.8)
+        ax.set_title(title, fontsize=9)
+        ax.tick_params(labelsize=7)
+        ax.grid(alpha=0.3)
+    for ax in axes.reshape(-1)[len(loaded):]:
+        ax.axis("off")
+    fig.suptitle(os.path.basename(os.path.abspath(output_dir)))
+    fig.tight_layout()
+    out = os.path.join(output_dir, out_name)
+    fig.savefig(out)
+    plt.close(fig)
+    return out
+
+
+def main(argv=None):
+    import sys
+
+    args = argv if argv is not None else sys.argv[1:]
+    if not args:
+        print("usage: python -m graal_tpu.utils.plots OUTPUT_DIR [...]")
+        return 1
+    for d in args:
+        out = summarize_run(d)
+        if out:
+            print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
