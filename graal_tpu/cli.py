@@ -42,6 +42,9 @@ def _add_run_opts(p):
                         "robustness experiments")
     p.add_argument("--snapshots", action="store_true",
                    help="save reordered matrix snapshots before/after")
+    p.add_argument("--model", default="rippe", choices=["rippe", "hic"],
+                   help="contact model: Rippe polymer (default) or the "
+                        "3-segment broken power law")
     p.add_argument("--sampler", default="em",
                    help="comma-separated stages: em, tempered, mtm, mh "
                         "(e.g. 'em,mtm' = EM then MTM refinement)")
@@ -78,6 +81,7 @@ def _config_from_args(args):
     cfg.sampler.t0 = args.t0
     cfg.sampler.tf = args.tf
     cfg.sampler.sub_sample_factor = getattr(args, "sub_sample", 0.0)
+    cfg.model.use_rippe = getattr(args, "model", "rippe") != "hic"
     return cfg
 
 

@@ -21,6 +21,9 @@ class PyramidConfig:
 
 @dataclasses.dataclass
 class ModelConfig:
+    use_rippe: bool = True         # False = 3-segment broken power law
+                                   # (a dead path in the reference: its
+                                   # kernels4.cu is missing; functional here)
     kuhn: float = 1.0              # fit init (optim_rippe_curve_update.py:76)
     lm: float = 9.6                # :80
     slope: float = -1.5            # :81

@@ -187,10 +187,20 @@ class Runner:
             [soa["l_cont_bp"][i] for i in range(len(soa["pos"]))
              if soa["pos"][i] == 0])) / 1000.0
         size_bin_kb = float(np.mean(soa["len_bp"])) / 1000.0
-        self.params, self.fit_bins, self.fit_contacts, self.fit_estim = \
-            fit_rippe_from_matrix(
+        if getattr(self.cfg.model, "use_rippe", True):
+            self.params, self.fit_bins, self.fit_contacts, self.fit_estim = \
+                fit_rippe_from_matrix(
+                    self.obs, soa, self.mean_value_trans,
+                    mean_dist_kb * self.cfg.model.max_dist_bins_factor,
+                    size_bin_kb)
+        else:
+            from graal_tpu.core.model_hic import fit_hic_from_matrix
+
+            self.params = fit_hic_from_matrix(
                 self.obs, soa, self.mean_value_trans,
-                mean_dist_kb * self.cfg.model.max_dist_bins_factor, size_bin_kb)
+                mean_dist_kb * self.cfg.model.max_dist_bins_factor,
+                size_bin_kb)
+            self.fit_bins = self.fit_contacts = self.fit_estim = None
 
     # ---- run --------------------------------------------------------------
     def run_em(self, n_cycles=None, progress=True, resume=False,
@@ -202,13 +212,20 @@ class Runner:
         cfg = self.cfg
         n_cycles = n_cycles or cfg.sampler.n_cycles
         scorer = None
-        if not self.table.has_repeats and jax.default_backend() != "cpu":
+        sample_param = cfg.sampler.sample_param
+        from graal_tpu.core.model_hic import HiCParams, make_hic_scorer
+        if isinstance(self.params, HiCParams):
+            # broken-power-law model: own scorer; nuisance sampling is
+            # Rippe-specific
+            scorer = make_hic_scorer(self.table, self.obs)
+            sample_param = False
+        elif not self.table.has_repeats and jax.default_backend() != "cpu":
             # Pallas fast path (TPU, repeat-free geometry)
             from graal_tpu.ops.likelihood_pallas import make_pallas_scorer
             scorer = make_pallas_scorer(self.table, self.obs)
         cycle = mcmc.make_em_cycle(self.table, self.obs, self.nb,
                                    delta=cfg.sampler.n_neighbours,
-                                   sample_param=cfg.sampler.sample_param,
+                                   sample_param=sample_param,
                                    scorer=scorer)
         state = self.state
         if cfg.sampler.scrambled:
@@ -222,8 +239,12 @@ class Runner:
             if progress:
                 print(f"resumed from {ckpt_path} at cycle {start_cycle}",
                       flush=True)
-        l_t = jax.jit(lambda s, p: log_likelihood(s, self.table, self.obs, p))(
-            state, params)
+        if scorer is not None:
+            l_t = jax.jit(scorer)(
+                GenomeState(*[x[None] for x in state]), params)[0]
+        else:
+            l_t = jax.jit(lambda s, p: log_likelihood(
+                s, self.table, self.obs, p))(state, params)
 
         collected = {k: [] for k in ("likelihood", "n_contigs", "mean_len",
                                      "op_sampled", "id_f_sampled", "id_f_a",
