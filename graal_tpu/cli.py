@@ -158,8 +158,6 @@ def cmd_simulate(args):
 def cmd_replay(args):
     """Re-apply a recorded mutation log (replay_simu, main_gl.py:140-207)."""
     import jax
-    import jax.numpy as jnp
-    from graal_tpu.config import RunConfig
     from graal_tpu.core import mcmc
     from graal_tpu.core.likelihood import log_likelihood
     from graal_tpu.pipeline import Runner

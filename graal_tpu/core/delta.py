@@ -105,10 +105,9 @@ def make_delta_scorer(table: SubFragTable, obs, r_max: int):
 
         def masked_sum_P(geo):
             rows_geo = {kk: v[rows_c] for kk, v in geo.items()}
-            cols_geo = rows_geo
             s_obs = obs[rows_c[:, None], rows_c[None, :]]
-            g = _pair_ll(rows_geo, {kk: v[rows_c] for kk, v in geo.items()},
-                         s_obs, accu_rows, accu_rows, nfpb, params)
+            g = _pair_ll(rows_geo, rows_geo, s_obs, accu_rows, accu_rows,
+                         nfpb, params)
             upper = rows_c[:, None] < rows_c[None, :]
             valid = row_valid[:, None] & row_valid[None, :]
             return jnp.sum(jnp.where(upper & valid, g, 0.0))

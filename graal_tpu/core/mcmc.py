@@ -15,7 +15,6 @@ construction), so no incremental bookkeeping is needed.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -24,7 +23,7 @@ import numpy as np
 
 from graal_tpu.core.candidates import N_CANDIDATES, build_candidates
 from graal_tpu.core.likelihood import log_likelihood
-from graal_tpu.core.model import RippeParams, rippe_contacts
+from graal_tpu.core.model import RippeParams
 from graal_tpu.core.state import GenomeState
 from graal_tpu.core.subfrags import SubFragTable
 

@@ -62,40 +62,41 @@ def obs_constant(obs: np.ndarray) -> float:
     return float(out.sum())
 
 
-def _ll_kernel(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r, la_c,
-               obs_tile, p_ref, out_ref, *, k_real, n_row_blocks, n_col_blocks):
+def _ll_kernel(ti_ref, tj_ref, mid_r, mid_c, idc_r, idc_c, circ_r, stot_r,
+               la_r, la_c, obs_tile, p_ref, out_ref, *, k_real):
     """One (TB x TB) tile of one candidate's pair grid.
+
+    The grid enumerates only the upper-triangle tiles (t, c); the
+    scalar-prefetched ti/tj arrays map t -> (row block, col block), so no
+    grid step is spent on fully-masked lower tiles. Grid order (t, c):
+    the obs tile stays resident across the whole candidate batch.
 
     p_ref (SMEM): [log_c1fact, slope, d, d_max, lm/kuhn, log_v_inter,
                    v_inter, log_norm_circ_const, log_k3fact, log_nfpb]
     """
-    # grid order (i, j, c): the obs tile stays resident across the whole
-    # candidate batch (64x less HBM traffic than candidate-major order)
-    i = pl.program_id(0)
-    j = pl.program_id(1)
-    c = pl.program_id(2)
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    i = ti_ref[t]
+    j = tj_ref[t]
 
-    @pl.when((i == 0) & (j == 0))
+    @pl.when(t == 0)
     def _():
         out_ref[c] = 0.0
 
-    # tiles strictly below the diagonal are fully masked — skip their compute
-    @pl.when(j >= i)
-    def _compute():
-        # Tiles with no same-contig pair are pure trans: the expectation is
-        # v_inter * accu_u * accu_v / nfpb — no Rippe evaluation at all.
-        # Early in assembly (small contigs) most off-diagonal tiles qualify.
-        any_same = jnp.any(idc_r[c, :][:, None] == idc_c[c, :][None, :])
+    # Tiles with no same-contig pair are pure trans: the expectation is
+    # v_inter * accu_u * accu_v / nfpb — no Rippe evaluation at all.
+    # Early in assembly (small contigs) most off-diagonal tiles qualify.
+    any_same = jnp.any(idc_r[c, :][:, None] == idc_c[c, :][None, :])
 
-        @pl.when(any_same)
-        def _full():
-            _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r,
-                       la_c, obs_tile, p_ref, out_ref, c, i, j, k_real)
+    @pl.when(any_same)
+    def _full():
+        _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r,
+                   la_c, obs_tile, p_ref, out_ref, c, i, j, k_real)
 
-        @pl.when(jnp.logical_not(any_same))
-        def _trans():
-            _trans_tile_body(la_r, la_c, obs_tile, p_ref, out_ref, c, i, j,
-                             k_real)
+    @pl.when(jnp.logical_not(any_same))
+    def _trans():
+        _trans_tile_body(la_r, la_c, obs_tile, p_ref, out_ref, c, i, j,
+                         k_real)
 
 
 def _trans_tile_body(la_r, la_c, obs_tile, p_ref, out_ref, c, i, j, k_real):
@@ -198,8 +199,12 @@ def make_pallas_scorer(table: SubFragTable, obs, interpret: bool = False):
             jnp.log(p.v_inter), p.v_inter, log_norm_circ, log_k3fact,
             jnp.float32(np.log(table.n_frags_per_bins))]).astype(jnp.float32)
 
-    kernel = functools.partial(_ll_kernel, k_real=k_real,
-                               n_row_blocks=n_rb, n_col_blocks=n_rb)
+    kernel = functools.partial(_ll_kernel, k_real=k_real)
+    # upper-triangle tile enumeration (row-major), scalar-prefetched
+    tri = [(i, j) for i in range(n_rb) for j in range(i, n_rb)]
+    ti_np = np.asarray([i for i, _ in tri], np.int32)
+    tj_np = np.asarray([j for _, j in tri], np.int32)
+    n_tri = len(tri)
 
     def _pad_vec(x, fill=0.0):
         return jnp.pad(x, (0, k_pad - k_real), constant_values=fill)
@@ -226,20 +231,31 @@ def make_pallas_scorer(table: SubFragTable, obs, interpret: bool = False):
     # Per-sub-fragment vectors are loaded with the full candidate axis per
     # tile (block (B, TB), ~B*1KB) -- TPU block shapes require the
     # second-to-last dim to be 8-divisible or full; the kernel picks its
-    # candidate row with program_id(0).
-    grid_sp = lambda b: pl.GridSpec(
-        grid=(n_rb, n_rb, b),
+    # candidate row with a program id. Index maps read the prefetched
+    # triangle coordinates.
+    def row_map(t, c, ti, tj):
+        return (0, ti[t])
+
+    def col_map(t, c, ti, tj):
+        return (0, tj[t])
+
+    def obs_map(t, c, ti, tj):
+        return (ti[t], tj[t])
+
+    grid_sp = lambda b: pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(n_tri, b),
         in_specs=[
-            pl.BlockSpec((b, TB), lambda i, j, c: (0, i), memory_space=pltpu.VMEM),  # mid rows
-            pl.BlockSpec((b, TB), lambda i, j, c: (0, j), memory_space=pltpu.VMEM),  # mid cols
-            pl.BlockSpec((b, TB), lambda i, j, c: (0, i), memory_space=pltpu.VMEM),  # idc rows
-            pl.BlockSpec((b, TB), lambda i, j, c: (0, j), memory_space=pltpu.VMEM),  # idc cols
-            pl.BlockSpec((b, TB), lambda i, j, c: (0, i), memory_space=pltpu.VMEM),  # circ rows
-            pl.BlockSpec((b, TB), lambda i, j, c: (0, i), memory_space=pltpu.VMEM),  # stot rows
-            pl.BlockSpec((b, TB), lambda i, j, c: (0, i), memory_space=pltpu.VMEM),  # log_accu rows
-            pl.BlockSpec((b, TB), lambda i, j, c: (0, j), memory_space=pltpu.VMEM),  # log_accu cols
-            pl.BlockSpec((TB, TB), lambda i, j, c: (i, j), memory_space=pltpu.VMEM), # obs tile
-            pl.BlockSpec(memory_space=pltpu.SMEM),                                   # params
+            pl.BlockSpec((b, TB), row_map, memory_space=pltpu.VMEM),  # mid rows
+            pl.BlockSpec((b, TB), col_map, memory_space=pltpu.VMEM),  # mid cols
+            pl.BlockSpec((b, TB), row_map, memory_space=pltpu.VMEM),  # idc rows
+            pl.BlockSpec((b, TB), col_map, memory_space=pltpu.VMEM),  # idc cols
+            pl.BlockSpec((b, TB), row_map, memory_space=pltpu.VMEM),  # circ rows
+            pl.BlockSpec((b, TB), row_map, memory_space=pltpu.VMEM),  # stot rows
+            pl.BlockSpec((b, TB), row_map, memory_space=pltpu.VMEM),  # log_accu rows
+            pl.BlockSpec((b, TB), col_map, memory_space=pltpu.VMEM),  # log_accu cols
+            pl.BlockSpec((TB, TB), obs_map, memory_space=pltpu.VMEM), # obs tile
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # params
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
     )
@@ -254,7 +270,8 @@ def make_pallas_scorer(table: SubFragTable, obs, interpret: bool = False):
             grid_spec=grid_sp(b),
             out_shape=jax.ShapeDtypeStruct((b,), jnp.float32),
             interpret=interpret,
-        )(mid, mid, idc.astype(jnp.int32), idc.astype(jnp.int32), circ, stot,
+        )(jnp.asarray(ti_np), jnp.asarray(tj_np),
+          mid, mid, idc.astype(jnp.int32), idc.astype(jnp.int32), circ, stot,
           la, la, obs_dev, pvec)
         return out + jnp.float32(const)
 

@@ -9,7 +9,6 @@ parallel tempering; the reference is strictly single-chain).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

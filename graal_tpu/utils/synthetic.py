@@ -9,7 +9,6 @@ Used by tests, benchmarks and the driver entry points.
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 from graal_tpu.core.likelihood import expected_data_matrix
 from graal_tpu.core.model import RippeParams
