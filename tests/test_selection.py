@@ -1,0 +1,90 @@
+"""Score-slot selection vs a literal numpy port of the reference filter,
+and neighbour-sampling distribution sanity."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from graal_tpu.core import mcmc
+from graal_tpu.core.state import GenomeState
+
+
+def reference_filter(score_flat, n_tmp_struct=13, thresh=30.0):
+    """Literal numpy port of the reference's score post-processing
+    (cuda_lib_gl.py:1899-1936): returns the sampling probabilities and the
+    surviving indices (F_t = 1)."""
+    scores_2_remove = []
+    scores_2_remove.extend(range(n_tmp_struct, len(score_flat), n_tmp_struct))
+    scores_2_remove.extend(range(n_tmp_struct + 1, len(score_flat), n_tmp_struct))
+    filtered = score_flat - score_flat.min()
+    filtered[scores_2_remove] = 0
+    max_score = filtered.max()
+    filtered = filtered - (max_score - thresh)
+    filtered[filtered < 0] = 0
+    idx = np.nonzero(filtered > 0)[0]
+    sub = filtered[idx]
+    sub = sub / sub.sum()
+    return idx, sub
+
+
+def test_selection_distribution_matches_reference_filter():
+    """Empirical selection frequencies of select_score_slot match the
+    reference's filtered/normalised distribution."""
+    rng = np.random.default_rng(0)
+    m, n_ops = 4, 13
+    score = rng.normal(-1000.0, 12.0, (m, n_ops)).astype(np.float32)
+    valid = np.ones(m, bool)
+
+    idx_ref, p_ref = reference_filter(score.reshape(-1).astype(np.float64))
+    want = np.zeros(m * n_ops)
+    want[idx_ref] = p_ref
+
+    n_draws = 6000
+    keys = jax.random.split(jax.random.key(1), n_draws)
+    sel = jax.jit(jax.vmap(lambda k: mcmc.select_score_slot(
+        k, jnp.asarray(score), jnp.asarray(valid), jnp.float32(1.0))))(keys)
+    counts = np.bincount(np.asarray(sel), minlength=m * n_ops) / n_draws
+    # compare where the reference gives nonzero probability
+    np.testing.assert_allclose(counts[idx_ref], p_ref, atol=0.03)
+    # nothing outside the reference's support is ever selected
+    outside = np.setdiff1d(np.arange(m * n_ops), idx_ref)
+    assert counts[outside].sum() == 0
+
+
+def test_selection_argmax_fallback():
+    """With one dominant score (window pushes others to zero), selection is
+    deterministic argmax (cuda_lib_gl.py:1939-1940)."""
+    score = np.full((3, 13), -2000.0, np.float32)
+    score[1, 4] = -100.0   # dominates by far more than the 30-window
+    valid = np.ones(3, bool)
+    sel = int(mcmc.select_score_slot(jax.random.key(0), jnp.asarray(score),
+                                     jnp.asarray(valid), jnp.float32(1.0)))
+    assert sel == 1 * 13 + 4
+
+
+def test_neighbour_sampling_prefers_strong_contacts():
+    """Sampling frequencies follow the contacts^3 proposal distribution."""
+    n = 12
+    m = np.ones((n, n), np.float32)
+    m[0, 5] = m[5, 0] = 30.0
+    m[0, 9] = m[9, 0] = 15.0
+    np.fill_diagonal(m, 0)
+    nb = mcmc.build_neighbour_table(m, np.arange(n), n, n_top=10)
+    state = GenomeState.from_soa(dict(
+        pos=np.zeros(n), id_c=np.arange(n), start_bp=np.zeros(n),
+        len_bp=np.full(n, 1000), circ=np.zeros(n), l_cont=np.ones(n),
+        l_cont_bp=np.full(n, 1000), ori=np.ones(n), rep=np.zeros(n),
+        activ=np.ones(n), id_d=np.arange(n)))
+
+    n_draws = 800
+    keys = jax.random.split(jax.random.key(2), n_draws)
+    ids, valid = jax.jit(jax.vmap(lambda k: mcmc.sample_neighbours(
+        k, jnp.int32(0), state, nb, 1)))(keys)   # single draw per step
+    ids, valid = np.asarray(ids), np.asarray(valid)
+    picked = ids[valid]
+    counts = np.bincount(picked, minlength=n)
+    # p proportional to contacts^3: 30^3 : 15^3 : 1 -> ~0.89 : 0.11 : eps
+    assert counts[5] / n_draws > 0.8
+    assert 0.03 < counts[9] / n_draws < 0.25
+    assert counts[5] > counts[9] > 0
+    assert counts[0] == 0             # never proposes itself
