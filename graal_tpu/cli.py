@@ -42,6 +42,9 @@ def _add_run_opts(p):
                         "robustness experiments")
     p.add_argument("--snapshots", action="store_true",
                    help="save reordered matrix snapshots before/after")
+    p.add_argument("--polish", action="store_true",
+                   help="resolve unorientable-fragment orientations by "
+                        "neighbourhood consensus before the FASTA export")
     p.add_argument("--model", default="rippe", choices=["rippe", "hic"],
                    help="contact model: Rippe polymer (default) or the "
                         "3-segment broken power law")
@@ -138,6 +141,8 @@ def cmd_run(args):
     if args.snapshots:
         runner.save_matrix_snapshot("post_assembly", assembly.state)
     if args.fasta:
+        if args.polish:
+            assembly.state = runner.polish_orientations(assembly.state)
         contigs = runner.export_fasta(assembly, args.fasta)
         print(f"wrote {len(contigs)} contigs to "
               f"{os.path.join(cfg.output_dir, 'genome.fasta')}")

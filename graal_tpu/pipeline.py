@@ -454,6 +454,36 @@ class Runner:
         ids, valid, ll = probe(*step_in)
         return np.asarray(ids), np.asarray(valid), np.asarray(ll)
 
+    def polish_orientations(self, state: GenomeState | None = None) -> GenomeState:
+        """Resolve unorientable fragments by neighbourhood consensus.
+
+        A bin with a single sub-fragment gives the likelihood no orientation
+        signal, so its ori is arbitrary after assembly (the reference
+        exports whatever the sampler left, with the same ambiguity). This
+        polish sets every unorientable fragment's orientation to that of its
+        nearest orientable neighbour in the contig (ties -> upstream),
+        giving locally consistent strandedness in the FASTA.
+        """
+        state = state if state is not None else self.state
+        s = state.to_numpy()
+        ori = s["ori"].copy()
+        orientable = self.orientable
+        for c in np.unique(s["id_c"]):
+            members = np.nonzero(s["id_c"] == c)[0]
+            order = members[np.argsort(s["pos"][members])]
+            flags = orientable[order]
+            if not flags.any():
+                continue
+            idx_orientable = np.nonzero(flags)[0]
+            for k, f in enumerate(order):
+                if not flags[k]:
+                    nearest = idx_orientable[
+                        np.argmin(np.abs(idx_orientable - k))]
+                    ori[f] = ori[order[nearest]]
+        import jax.numpy as jnp
+
+        return state._replace(ori=jnp.asarray(ori, jnp.int32))
+
     def scan_parameter(self, name: str, values) -> np.ndarray:
         """Likelihood of the current genome over a grid of one model
         parameter — the reference's d_space / alpha_space scan machinery

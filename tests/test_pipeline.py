@@ -149,3 +149,32 @@ def test_sub_sampling(dataset, tmp_path):
     assert 0.3 < ratio < 0.7
     assembly = runner.run_em(progress=False)
     assert np.isfinite(assembly.metrics["likelihood"][-1])
+
+
+def test_polish_orientations(runner):
+    """Unorientable fragments adopt their nearest orientable neighbour's
+    orientation; orientable fragments are untouched."""
+    import jax.numpy as jnp
+
+    state = runner.state
+    n = state.n_frags
+    # force a known pattern: flip the whole of contig 0, then scramble the
+    # unorientable members' oris
+    s = state.to_numpy()
+    ori = np.where(s["id_c"] == 0, -1, 1).astype(np.int32)
+    rng = np.random.default_rng(0)
+    for f in range(n):
+        if not runner.orientable[f]:
+            ori[f] = rng.choice([-1, 1])
+    noisy = state._replace(ori=jnp.asarray(ori))
+    polished = runner.polish_orientations(noisy)
+    p = np.asarray(polished.ori)
+    for f in range(n):
+        if runner.orientable[f]:
+            assert p[f] == ori[f]          # untouched
+    # contigs whose orientable members all agree become uniform
+    for c in np.unique(s["id_c"]):
+        members = np.nonzero(s["id_c"] == c)[0]
+        ors = np.asarray([ori[f] for f in members if runner.orientable[f]])
+        if len(ors) and (ors == ors[0]).all():
+            assert (p[members] == ors[0]).all()
