@@ -71,17 +71,44 @@ def make_genome(n_bins: int, n_contigs: int, mean_len_bp: int = 9000,
     return state, table
 
 
+def _expected_matrix_host(state: GenomeState, table: SubFragTable,
+                          params: RippeParams) -> np.ndarray:
+    """Repeat-free expected matrix in pure numpy (no device compile —
+    the TPU-tunnel remote compile of a fresh K^2 graph can take minutes
+    for large synthetic problems)."""
+    s_np = {f: np.asarray(getattr(state, f)) for f in state._fields}
+    owner = np.asarray(table.owner)
+    mid = (s_np["start_bp"][owner] / 1000.0
+           + np.where(s_np["ori"][owner] == 1, np.asarray(table.prefix_kb),
+                      np.asarray(table.suffix_kb))
+           + np.asarray(table.len_kb) * 0.5)
+    kuhn, lm, c1, slope, d, d_max, fact, v_inter = [float(x) for x in params]
+    s = np.abs(mid[:, None] - mid[None, :])
+    same = s_np["id_c"][owner][:, None] == s_np["id_c"][owner][None, :]
+    with np.errstate(all="ignore"):
+        n = s * lm / kuhn
+        cis = c1 * np.power(s, slope) * np.exp((d - 2.0) / (n * n + d)) * fact
+    cis = np.where((s > 0) & (s < d_max), cis, 0.0)
+    cis = np.maximum(cis, v_inter)
+    accu = np.asarray(table.accu, np.float64)
+    na = accu[:, None] * accu[None, :] / table.n_frags_per_bins
+    return np.where(same, cis, v_inter) * na
+
+
 def simulate_contacts(state: GenomeState, table: SubFragTable,
                       params: RippeParams, seed: int = 0) -> np.ndarray:
     """Poisson-sample an observed data-grid matrix from the model
     expectation (simulate_data_2d, kernels3.cu:2790-2795)."""
-    import jax
-
     rng = np.random.default_rng(seed)
-    # One jitted call: eager dispatch on the axon (TPU-tunnel) backend
-    # would remote-compile every elementwise op separately.
-    e_fn = jax.jit(lambda s, p: expected_data_matrix(s, table, p))
-    e = np.asarray(e_fn(state, params), np.float64)
+    if not table.has_repeats and not np.any(np.asarray(state.circ)):
+        e = _expected_matrix_host(state, table, params)
+    else:
+        import jax
+
+        # One jitted call: eager dispatch on the axon (TPU-tunnel) backend
+        # would remote-compile every elementwise op separately.
+        e_fn = jax.jit(lambda s, p: expected_data_matrix(s, table, p))
+        e = np.asarray(e_fn(state, params), np.float64)
     obs = rng.poisson(np.maximum(np.triu(e, 1), 0.0)).astype(np.float32)
     return obs + obs.T
 
