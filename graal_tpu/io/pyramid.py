@@ -244,12 +244,25 @@ class Level:
                     activ=np.ones(n, np.int64), id_d=np.arange(n))
 
     def mean_value_trans(self) -> float:
-        """Mean inter-contig contact value (pyramid_sparse.py:1350-1373)."""
+        """Mean inter-contig contact value (pyramid_sparse.py:1350-1373).
+
+        Hardening over the reference: with a single source contig there are
+        no trans pairs and the reference computes 0/0; here the background
+        rate falls back to the mean of the most distant decile of cis pairs
+        (far-cis contacts approximate the background), floored at 1e-6 —
+        a zero v_inter would zero out every trans term of the likelihood
+        and make the sampler fragment the genome.
+        """
         m = self.dense_matrix()
         chrom_arr = np.asarray(self.frags.chrom)
         same = chrom_arr[:, None] == chrom_arr[None, :]
         trans = m[~same]
-        return float(trans.sum() / max(trans.size, 1))
+        if trans.size:
+            return float(trans.sum() / trans.size)
+        n = m.shape[0]
+        iu, ju = np.triu_indices(n, k=max(1, int(0.9 * n)))
+        far = m[iu, ju]
+        return float(max(far.mean() if far.size else 0.0, 1e-6))
 
 
 class Pyramid:
