@@ -15,10 +15,12 @@ equivalent with static shapes:
   pairs twice) and P = sum over unordered D-D pairs, so H - P is exactly
   the sum over pairs touching D,
 - D is padded to a static ``r_max`` rows; candidates whose changed set
-  exceeds r_max receive dL = -inf (excluded from sampling) and raise an
-  overflow counter — callers pick r_max from the current contig-size
-  regime (cheap early in assembly, growing as contigs coalesce, exactly
-  like the reference's l_cont-proportional workload).
+  exceeds r_max return a finite sentinel dL plus an overflow flag that is
+  folded into the selection validity mask (so an overflowing candidate can
+  never poison the score window) — callers pick r_max from the current
+  contig-size regime (cheap early in assembly, growing as contigs
+  coalesce, exactly like the reference's l_cont-proportional workload).
+  When every slot overflows the step is a no-op.
 
 Work per candidate: O(r_max * K) instead of O(K^2). Repeat-free geometry
 only (the repeat path keeps full scoring).
@@ -117,7 +119,9 @@ def make_delta_scorer(table: SubFragTable, obs, r_max: int):
         p_c = masked_sum_P(cand_geo)
         p_0 = masked_sum_P(base_geo)
         d = (h_c - p_c) - (h_0 - p_0)
-        return jnp.where(overflow, -jnp.inf, d), overflow
+        # finite sentinel: overflow exclusion happens via the validity mask
+        # in the selection step, never via the score value itself
+        return jnp.where(overflow, 0.0, d), overflow
 
     def dscore(base: GenomeState, cands_batch: GenomeState, params: RippeParams):
         base_geo = _sub_geometry(base, table)
@@ -151,15 +155,21 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, r_max: int):
             lambda x: x.reshape((m * N_CANDIDATES,) + x.shape[2:]), cands)
         dll, overflow = dscore(state, flat, params)
         dll = dll.reshape(m, N_CANDIDATES)
+        slot_ok = ~overflow.reshape(m, N_CANDIDATES)
 
-        sel = select_score_slot(k_sel, dll, valid, f_t)
+        sel = select_score_slot(k_sel, dll, valid, f_t, slot_valid=slot_ok)
         new_state = jax.tree.map(
             lambda x: x[sel // N_CANDIDATES, sel % N_CANDIDATES], cands)
-        skip = nb.blacklist[f_a]
+        # no-op fallback when every selectable slot overflows
+        op_idx = jnp.arange(N_CANDIDATES)[None, :]
+        nb_idx = jnp.arange(m)[:, None]
+        base_ok = (valid[:, None] | ((nb_idx == 0) & (op_idx < 2))) \
+            & ~((op_idx < 2) & (nb_idx > 0))
+        any_ok = jnp.any(base_ok & slot_ok)
+        skip = nb.blacklist[f_a] | ~any_ok
         new_state = GenomeState(*[jnp.where(skip, a, b)
                                   for a, b in zip(state, new_state)])
         d_sel = jnp.where(skip, 0.0, dll.reshape(-1)[sel])
-        d_sel = jnp.where(jnp.isfinite(d_sel), d_sel, 0.0)
         return new_state, l_t + d_sel, (
             jnp.where(skip, -1, sel % N_CANDIDATES),
             jnp.where(skip, f_a, ids[sel // N_CANDIDATES]),

@@ -80,12 +80,6 @@ def build_neighbour_table(bin_matrix, id_d, n_frags, blacklisted=(),
         n_bins=n_bins, max_copies=max_copies)
 
 
-def temperature(t, n_step):
-    """Annealing schedule; the reference hard-codes 1.0
-    (cuda_lib_gl.py:2590-2603, schedule commented out)."""
-    return jnp.float32(1.0)
-
-
 def sample_neighbours(key, f_a, state: GenomeState, nb: NeighbourTable, delta: int):
     """Sample <= delta partner bins (without replacement, p prop contacts^3),
     expand to repeat copies, add the other copies of fA's own bin, mask
@@ -120,7 +114,7 @@ def sample_neighbours(key, f_a, state: GenomeState, nb: NeighbourTable, delta: i
     return ids[order], valid[order]
 
 
-def select_score_slot(key, score, valid_nb, f_t):
+def select_score_slot(key, score, valid_nb, f_t, slot_valid=None):
     """Filter / temper / sample one (neighbour, op) slot.
 
     Exactly the reference's host logic (cuda_lib_gl.py:1899-1947): drop
@@ -128,6 +122,10 @@ def select_score_slot(key, score, valid_nb, f_t):
     minimum, clamp to a 30-window below the max, normalise, raise to 1/F_t,
     renormalise, categorical draw; argmax fallback when <= 1 candidate
     survives.
+
+    ``slot_valid``: optional (m, n_ops) bool mask of additionally valid
+    slots (e.g. delta-scoring overflow exclusion) folded into the validity
+    mask *before* min/max so an excluded slot can never poison the window.
     """
     m, n_ops = score.shape
     op_idx = jnp.arange(n_ops)[None, :]
@@ -135,6 +133,8 @@ def select_score_slot(key, score, valid_nb, f_t):
     # eject/flip do not depend on the neighbour: keep them on slot 0 only
     dup = (op_idx < 2) & (nb_idx > 0)
     valid_op = valid_nb[:, None] | ((nb_idx == 0) & (op_idx < 2))
+    if slot_valid is not None:
+        valid_op = valid_op & slot_valid
     flat = score.reshape(-1)
     valid_flat = (valid_op & ~dup).reshape(-1)
 
@@ -219,7 +219,8 @@ def solve_d_max(params: RippeParams, v_inter, lo=1e-2, hi=1e6, iters=80):
     return jnp.sqrt(lo_f * hi_f)
 
 
-def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32):
+def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32,
+                       scorer=None):
     """Jitted nuisance-parameter Metropolis step
     (step_nuisance_parameters, cuda_lib_gl.py:2022-2107).
 
@@ -227,6 +228,10 @@ def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32):
     reference's per-parameter sigma; dependent parameters (c1, d_max or
     v_inter) are re-derived; accepted with probability
     exp((L* - L_t) / F_t).
+
+    ``scorer``: optional batched likelihood fn (e.g. the Pallas kernel) used
+    for the test-parameter evaluation, so the nuisance path shares the EM
+    step's fast scorer instead of falling back to the jnp likelihood.
     """
     obs = jnp.asarray(obs, jnp.float32)
     sigma_slope = 0.05
@@ -280,7 +285,12 @@ def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32):
             id_modif, [mod_fact, mod_slope, mod_d_max, mod_d_nuc], params)
         test_params = RippeParams(*[x.astype(jnp.float32) for x in test_params])
 
-        l_star = log_likelihood(state, table, obs, test_params, dtype=ll_dtype)
+        if scorer is not None:
+            l_star = scorer(jax.tree.map(lambda x: x[None], state),
+                            test_params)[0]
+        else:
+            l_star = log_likelihood(state, table, obs, test_params,
+                                    dtype=ll_dtype)
         ratio = jnp.exp((l_star.astype(jnp.float32) - l_t) / f_t)
         accept = in_support & (ratio >= jax.random.uniform(k_u, ()))
         out = RippeParams(*[jnp.where(accept, a, b)
@@ -312,7 +322,7 @@ def make_em_cycle(table: SubFragTable, obs, nb: NeighbourTable, delta: int,
     the device-side equivalent of the start_EM inner loop
     (main_gl.py:225-278)."""
     em_step = make_em_step(table, obs, nb, delta, ll_dtype, scorer=scorer)
-    nuis_step = make_nuisance_step(table, obs, ll_dtype)
+    nuis_step = make_nuisance_step(table, obs, ll_dtype, scorer=scorer)
 
     @jax.jit
     def cycle(state: GenomeState, key, params: RippeParams, frag_order, l_t, f_t):
@@ -326,9 +336,13 @@ def make_em_cycle(table: SubFragTable, obs, nb: NeighbourTable, delta: int,
             else:
                 success = jnp.bool_(True)
             n_contigs = state.n_contigs()
+            # mean contig length over *active* fragments only — inactive
+            # repeat copies carry no sequence (main_gl.py:251 semantics)
+            active_bp = jnp.sum(
+                jnp.where(state.activ == 1, state.len_bp, 0))
             metrics = CycleMetrics(
                 likelihood=l_t, n_contigs=n_contigs,
-                mean_len=jnp.sum(state.len_bp).astype(jnp.float32) / n_contigs,
+                mean_len=active_bp.astype(jnp.float32) / n_contigs,
                 op_sampled=op, id_f_sampled=fb, id_f_a=f_a,
                 fact=params.fact, slope=params.slope, d_max=params.d_max,
                 v_inter=params.v_inter, success=success)

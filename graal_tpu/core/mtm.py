@@ -127,17 +127,32 @@ def _neighbour_set(state, f_a, jump: JumpTable):
     return jnp.clip(ids, 0), valid
 
 
-def make_mtm_step(table: SubFragTable, obs, jump: JumpTable,
-                  ll_dtype=jnp.float32):
-    """Jitted step_mtm(state, key, params, l_t, f_a, f_t) ->
-    (state, l_t, accepted, n_contigs)."""
-    obs = jnp.asarray(obs, jnp.float32)
+def _make_scores_for(table, obs, ll_dtype, scorer):
+    """Candidate scoring shared by the MTM/MH passes: the fast ``scorer``
+    (Pallas/HiC) when given, the vmapped jnp likelihood otherwise."""
 
     def scores_for(state, f_a, nb_ids, params):
         cands = jax.vmap(lambda fb: mh_candidates(state, f_a, fb))(nb_ids)
-        ll = jax.vmap(jax.vmap(
-            lambda c: log_likelihood(c, table, obs, params, dtype=ll_dtype)))(cands)
+        if scorer is not None:
+            m = nb_ids.shape[0]
+            flat = jax.tree.map(
+                lambda x: x.reshape((m * N_CANDIDATES,) + x.shape[2:]), cands)
+            ll = scorer(flat, params).reshape(m, N_CANDIDATES)
+        else:
+            ll = jax.vmap(jax.vmap(
+                lambda c: log_likelihood(c, table, obs, params,
+                                         dtype=ll_dtype)))(cands)
         return cands, ll.astype(jnp.float32)
+
+    return scores_for
+
+
+def make_mtm_step(table: SubFragTable, obs, jump: JumpTable,
+                  ll_dtype=jnp.float32, scorer=None):
+    """Jitted step_mtm(state, key, params, l_t, f_a, f_t) ->
+    (state, l_t, accepted, n_contigs)."""
+    obs = jnp.asarray(obs, jnp.float32)
+    scores_for = _make_scores_for(table, obs, ll_dtype, scorer)
 
     def weights(ll_flat, discard_flat, f_t, thresh):
         s = ll_flat / f_t
@@ -182,16 +197,11 @@ def make_mtm_step(table: SubFragTable, obs, jump: JumpTable,
 
 
 def make_mh_step(table: SubFragTable, obs, jump: JumpTable,
-                 ll_dtype=jnp.float32):
+                 ll_dtype=jnp.float32, scorer=None):
     """Jitted plain Metropolis-Hastings step
     (step_metropolis_hastings_s_a, cuda_lib_gl.py:2836-2934)."""
     obs = jnp.asarray(obs, jnp.float32)
-
-    def scores_for(state, f_a, nb_ids, params):
-        cands = jax.vmap(lambda fb: mh_candidates(state, f_a, fb))(nb_ids)
-        ll = jax.vmap(jax.vmap(
-            lambda c: log_likelihood(c, table, obs, params, dtype=ll_dtype)))(cands)
-        return cands, ll.astype(jnp.float32)
+    scores_for = _make_scores_for(table, obs, ll_dtype, scorer)
 
     def step(state: GenomeState, key, params: RippeParams, l_t, f_a, f_t):
         k_fwd, k_acc = jax.random.split(key)
@@ -234,11 +244,11 @@ def make_mh_step(table: SubFragTable, obs, jump: JumpTable,
 
 
 def make_mtm_cycle(table: SubFragTable, obs, jump: JumpTable, variant="mtm",
-                   ll_dtype=jnp.float32):
+                   ll_dtype=jnp.float32, scorer=None):
     """One full MTM/MH cycle over a fragment order as a lax.scan
     (the start_MTM inner loop, main_gl.py:361-379)."""
     step = (make_mtm_step if variant == "mtm" else make_mh_step)(
-        table, obs, jump, ll_dtype)
+        table, obs, jump, ll_dtype, scorer=scorer)
 
     @jax.jit
     def cycle(state: GenomeState, key, params: RippeParams, frag_order, l_t, f_t):

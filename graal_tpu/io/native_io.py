@@ -9,6 +9,7 @@ framework stays importable everywhere.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 
@@ -16,10 +17,17 @@ import numpy as np
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_HERE, "native", "fastio.cpp")
-_LIB = os.path.join(_HERE, "native", "libfastio.so")
 
 _lib = None
 _tried = False
+
+
+def _lib_path() -> str:
+    """Cache path keyed by a hash of the source, so a stale binary can never
+    shadow newer source (binaries are not committed to the tree)."""
+    with open(_SRC, "rb") as fh:
+        digest = hashlib.sha256(fh.read()).hexdigest()[:16]
+    return os.path.join(_HERE, "native", f"libfastio-{digest}.so")
 
 
 class _CooResult(ctypes.Structure):
@@ -33,11 +41,13 @@ class _CooResult(ctypes.Structure):
     ]
 
 
-def _build() -> bool:
+def _build(lib_path: str) -> bool:
     try:
+        tmp = lib_path + ".tmp"
         subprocess.run(
-            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", _LIB, _SRC],
+            ["g++", "-O3", "-std=c++17", "-shared", "-fPIC", "-o", tmp, _SRC],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, lib_path)   # atomic: parallel builders race safely
         return True
     except Exception:
         return False
@@ -49,12 +59,11 @@ def get_lib():
     if _lib is not None or _tried:
         return _lib
     _tried = True
-    if not os.path.exists(_LIB) or (
-            os.path.getmtime(_LIB) < os.path.getmtime(_SRC)):
-        if not _build():
-            return None
+    lib_path = _lib_path()
+    if not os.path.exists(lib_path) and not _build(lib_path):
+        return None
     try:
-        lib = ctypes.CDLL(_LIB)
+        lib = ctypes.CDLL(lib_path)
         lib.parse_pairs.argtypes = [ctypes.c_char_p, ctypes.c_int,
                                     ctypes.c_int, ctypes.POINTER(_CooResult)]
         lib.parse_pairs.restype = ctypes.c_int

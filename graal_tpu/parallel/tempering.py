@@ -93,7 +93,12 @@ def run_tempered(table: SubFragTable, obs, nb, state0: GenomeState,
 
     n = state0.n_frags
     states = GenomeState(*[jnp.stack([x] * n_chains) for x in state0])
-    l0 = log_likelihood(state0, table, jnp.asarray(obs, jnp.float32), params)
+    if scorer is not None:
+        l0 = jax.jit(scorer)(
+            GenomeState(*[x[None] for x in state0]), params)[0]
+    else:
+        l0 = log_likelihood(state0, table, jnp.asarray(obs, jnp.float32),
+                            params)
     l_ts = jnp.broadcast_to(l0, (n_chains,))
     ladder = jnp.asarray(temperature_ladder(n_chains, t_max=t_max))
     key = jax.random.key(seed)

@@ -202,6 +202,32 @@ class Runner:
                 size_bin_kb)
             self.fit_bins = self.fit_contacts = self.fit_estim = None
 
+    def _make_scorer(self):
+        """Pick the fast batched scorer for the current model/geometry:
+        the HiC scorer for the broken-power-law model, the Pallas kernel on
+        TPU for repeat-free Rippe geometry, else None (jnp fallback).
+        Returns (scorer, sample_param) — nuisance sampling is
+        Rippe-specific, so it is forced off under the HiC model."""
+        import jax
+        from graal_tpu.core.model_hic import HiCParams, make_hic_scorer
+
+        sample_param = self.cfg.sampler.sample_param
+        if isinstance(self.params, HiCParams):
+            return make_hic_scorer(self.table, self.obs), False
+        if not self.table.has_repeats and jax.default_backend() != "cpu":
+            from graal_tpu.ops.likelihood_pallas import make_pallas_scorer
+            return make_pallas_scorer(self.table, self.obs), sample_param
+        return None, sample_param
+
+    def _initial_likelihood(self, state, params, scorer):
+        import jax
+
+        if scorer is not None:
+            return jax.jit(scorer)(
+                GenomeState(*[x[None] for x in state]), params)[0]
+        return jax.jit(lambda s, p: log_likelihood(
+            s, self.table, self.obs, p))(state, params)
+
     # ---- run --------------------------------------------------------------
     def run_em(self, n_cycles=None, progress=True, resume=False,
                checkpoint_every=1) -> Assembly:
@@ -211,18 +237,7 @@ class Runner:
 
         cfg = self.cfg
         n_cycles = n_cycles or cfg.sampler.n_cycles
-        scorer = None
-        sample_param = cfg.sampler.sample_param
-        from graal_tpu.core.model_hic import HiCParams, make_hic_scorer
-        if isinstance(self.params, HiCParams):
-            # broken-power-law model: own scorer; nuisance sampling is
-            # Rippe-specific
-            scorer = make_hic_scorer(self.table, self.obs)
-            sample_param = False
-        elif not self.table.has_repeats and jax.default_backend() != "cpu":
-            # Pallas fast path (TPU, repeat-free geometry)
-            from graal_tpu.ops.likelihood_pallas import make_pallas_scorer
-            scorer = make_pallas_scorer(self.table, self.obs)
+        scorer, sample_param = self._make_scorer()
         cycle = mcmc.make_em_cycle(self.table, self.obs, self.nb,
                                    delta=cfg.sampler.n_neighbours,
                                    sample_param=sample_param,
@@ -239,12 +254,7 @@ class Runner:
             if progress:
                 print(f"resumed from {ckpt_path} at cycle {start_cycle}",
                       flush=True)
-        if scorer is not None:
-            l_t = jax.jit(scorer)(
-                GenomeState(*[x[None] for x in state]), params)[0]
-        else:
-            l_t = jax.jit(lambda s, p: log_likelihood(
-                s, self.table, self.obs, p))(state, params)
+        l_t = self._initial_likelihood(state, params, scorer)
 
         collected = {k: [] for k in ("likelihood", "n_contigs", "mean_len",
                                      "op_sampled", "id_f_sampled", "id_f_a",
@@ -297,12 +307,13 @@ class Runner:
         state = self.state
         if cfg.sampler.scrambled:
             state = jax.jit(mcmc.explode_genome)(state)
+        scorer, _ = self._make_scorer()
         final, l_cold, trace = run_tempered(
             self.table, self.obs, self.nb, state, self.params,
             n_chains=n_chains, n_cycles=n_cycles,
             delta=cfg.sampler.n_neighbours, t_max=t_max,
             exchange_every=exchange_every, seed=cfg.sampler.seed,
-            mesh=mesh, progress=progress)
+            mesh=mesh, scorer=scorer, progress=progress)
         check_invariants(final)
         self.state = final
         metrics = {"likelihood": trace[:, 0].tolist(),
@@ -326,13 +337,13 @@ class Runner:
         jump = mtm_mod.build_jump_table(
             self.bin_matrix, norm_vect, np.asarray(self.state.id_d),
             self.state.n_frags, delta)
+        scorer, _ = self._make_scorer()
         cycle = mtm_mod.make_mtm_cycle(self.table, self.obs, jump,
-                                       variant=variant)
+                                       variant=variant, scorer=scorer)
         state = assembly.state if assembly else self.state
         params = assembly.params if assembly else self.params
         key = jax.random.key(cfg.sampler.seed + 1)
-        l_t = jax.jit(lambda s, p: log_likelihood(s, self.table, self.obs, p))(
-            state, params)
+        l_t = self._initial_likelihood(state, params, scorer)
         collected = {"likelihood": [], "n_contigs": [], "accepts": [],
                      "dist_init_genome": []}
         n = state.n_frags

@@ -40,10 +40,10 @@ def test_delta_matches_full_difference(problem):
         want = np.asarray(full_scores(cands, table, obs, params)) - l0
         got = np.asarray(dll)
         ov = np.asarray(overflow)
+        # sentinel scores are finite — exclusion happens via the mask only
+        assert np.all(np.isfinite(got))
         for i in range(N_CANDIDATES):
-            if ov[i]:
-                assert got[i] == -np.inf
-            else:
+            if not ov[i]:
                 np.testing.assert_allclose(got[i], want[i], rtol=1e-3,
                                            atol=0.3,
                                            err_msg=f"trial {trial} cand {i}")
@@ -57,7 +57,43 @@ def test_overflow_marks_oversized_changes(problem):
     dll, overflow = dscore(state, cands, params)
     ov = np.asarray(overflow)
     assert ov.any()
-    assert np.all(np.asarray(dll)[ov] == -np.inf)
+    assert np.all(np.isfinite(np.asarray(dll)))
+
+
+def test_overflow_cannot_poison_selection():
+    """An overflowing slot must not drag score_min to -inf / NaN the filter
+    (round-1 advisor finding): with slot_valid masking, selection must pick
+    only non-overflow slots, and with *every* slot overflowing the step must
+    be a no-op."""
+    m, n_ops = 3, N_CANDIDATES
+    key = jax.random.key(0)
+    score = jnp.zeros((m, n_ops))
+    score = score.at[1, 5].set(10.0)          # the only good real slot
+    valid = jnp.ones((m,), bool)
+    slot_ok = jnp.zeros((m, n_ops), bool).at[1, 5].set(True)
+    for trial in range(5):
+        key, sub = jax.random.split(key)
+        sel = int(mcmc.select_score_slot(sub, score, valid, jnp.float32(1.0),
+                                         slot_valid=slot_ok))
+        assert sel == 1 * N_CANDIDATES + 5
+
+    # every-slot-overflow -> delta step no-op fallback
+    state, table = make_genome(n_bins=12, n_contigs=3, subs_per_bin=3, seed=7)
+    params = default_params(fact=2000.0)
+    obs = simulate_contacts(state, table, params, seed=7)
+    import graal_tpu.core.mcmc as mcmc_mod
+    from graal_tpu.utils.synthetic import bin_level_matrix
+    bins = bin_level_matrix(np.asarray(obs), table)
+    nb = mcmc_mod.build_neighbour_table(bins, np.arange(12), 12)
+    step = delta.make_delta_em_step(table, obs, nb, delta=2, r_max=2)
+    l_t = jnp.float32(-100.0)
+    new_state, l_new, (op, fb, n_over) = jax.jit(step)(
+        state, jax.random.key(1), params, l_t, jnp.int32(0), jnp.float32(1.0))
+    assert int(n_over) > 0
+    if int(op) == -1:   # all slots overflowed -> untouched state, same l_t
+        np.testing.assert_array_equal(np.asarray(new_state.id_c),
+                                      np.asarray(state.id_c))
+        assert float(l_new) == float(l_t)
 
 
 def test_delta_cycle_assembles(problem):

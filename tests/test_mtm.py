@@ -89,3 +89,26 @@ def test_prev_next_derivation(problem):
     assert int(prev) == 2 and int(nxt) == 4
     prev0, _ = mtm._prev_next(state, jnp.int32(0))
     assert int(prev0) == -1
+
+
+def test_mtm_step_with_scorer_matches_jnp(problem):
+    """Scorer-threaded MTM forward/backward passes agree with the jnp path."""
+    state, table, params, obs = problem
+    from graal_tpu.ops.likelihood_pallas import make_pallas_scorer
+
+    jump = make_jump(problem)
+    scorer = make_pallas_scorer(table, obs, interpret=True)
+    step_jnp = jax.jit(mtm.make_mtm_step(table, obs, jump))
+    step_fast = jax.jit(mtm.make_mtm_step(table, obs, jump, scorer=scorer))
+    l_t = jnp.float32(likelihood.log_likelihood(state, table, obs, params))
+    key = jax.random.key(3)
+    for f_a in (1, 5, 9):
+        key, sub = jax.random.split(key)
+        s_a, l_a, acc_a, nc_a = step_jnp(state, sub, params, l_t,
+                                         jnp.int32(f_a), jnp.float32(1.0))
+        s_b, l_b, acc_b, nc_b = step_fast(state, sub, params, l_t,
+                                          jnp.int32(f_a), jnp.float32(1.0))
+        assert bool(acc_a) == bool(acc_b)
+        np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-4)
+        for a, b in zip(s_a, s_b):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
