@@ -49,28 +49,89 @@ class NeighbourTable(NamedTuple):
     max_copies: int
 
 
+def _matrix_to_coo(matrix):
+    """(rows, cols, vals, n) triplets of a dense array or scipy.sparse
+    matrix, off-diagonal positive entries only."""
+    try:
+        import scipy.sparse as sp
+        sparse = sp.issparse(matrix)
+    except ImportError:       # pragma: no cover
+        sparse = False
+    if sparse:
+        coo = matrix.tocoo()
+        rows, cols, vals = coo.row, coo.col, coo.data.astype(np.float64)
+        n = coo.shape[0]
+    else:
+        m = np.asarray(matrix, np.float64)
+        n = m.shape[0]
+        rows, cols = np.nonzero(m)
+        vals = m[rows, cols]
+    keep = (rows != cols) & (vals > 0)
+    return rows[keep], cols[keep], vals[keep], n
+
+
+def topk_rows(rows, cols, vals, n_rows, k):
+    """Per-row top-``k`` entries of COO triplets, vectorised (one lexsort).
+
+    Returns (idx (n_rows, k) int32, val (n_rows, k) f64), zero-padded for
+    rows with fewer than k entries. Replaces the reference-era per-row
+    argsort (O(n^2) host time) — this is O(nnz log nnz).
+    """
+    idx = np.zeros((n_rows, k), np.int32)
+    val = np.zeros((n_rows, k), np.float64)
+    if len(rows) == 0:
+        return idx, val
+    order = np.lexsort((-vals, rows))
+    r, c, v = rows[order], cols[order], vals[order]
+    new_seg = np.empty(len(r), bool)
+    new_seg[0] = True
+    new_seg[1:] = r[1:] != r[:-1]
+    seg_id = np.cumsum(new_seg) - 1
+    starts = np.nonzero(new_seg)[0]
+    pos_in_seg = np.arange(len(r)) - starts[seg_id]
+    sel = pos_in_seg < k
+    idx[r[sel], pos_in_seg[sel]] = c[sel]
+    val[r[sel], pos_in_seg[sel]] = v[sel]
+    return idx, val
+
+
+def build_dispatcher(id_d, n_bins):
+    """(n_bins, max_copies) bin -> copy-fragment ids, -1 padded
+    (frag_dispatcher spans, simulation_loader.py:258-277), vectorised."""
+    id_d = np.asarray(id_d)
+    order = np.argsort(id_d, kind="stable")
+    sorted_bins = id_d[order]
+    counts = np.bincount(id_d, minlength=n_bins)
+    max_copies = int(counts.max()) if len(counts) else 1
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    pos_in_bin = np.arange(len(order)) - starts[sorted_bins]
+    dispatcher = np.full((n_bins, max_copies), -1, np.int32)
+    dispatcher[sorted_bins, pos_in_bin] = order
+    return dispatcher, max_copies
+
+
 def build_neighbour_table(bin_matrix, id_d, n_frags, blacklisted=(),
                           n_top=10, fact=3.0) -> NeighbourTable:
-    """Host-side construction of the proposal tables."""
-    m = np.array(bin_matrix, np.float32)
-    np.fill_diagonal(m, 0.0)
-    n_bins = m.shape[0]
-    n_top = max(1, min(n_top, n_bins - 1))   # tiny coarse levels
-    xk = np.zeros((n_bins, n_top), np.int32)
-    pk = np.zeros((n_bins, n_top), np.float32)
-    for i in range(n_bins):
-        order = np.argsort(m[i])[::-1][:n_top]
-        xk[i] = order
-        dat = m[i, order] ** fact
-        tot = dat.sum()
-        pk[i] = dat / tot if tot > 0 else np.full(n_top, 1.0 / n_top, np.float32)
+    """Host-side construction of the proposal tables.
 
-    id_d = np.asarray(id_d)
-    copies = [np.nonzero(id_d == b)[0] for b in range(n_bins)]
-    max_copies = max(len(c) for c in copies)
-    dispatcher = np.full((n_bins, max_copies), -1, np.int32)
-    for b, c in enumerate(copies):
-        dispatcher[b, : len(c)] = c
+    ``bin_matrix`` may be dense or scipy.sparse — construction cost is
+    O(nnz log nnz), so chr1-scale (500k-bin) tables build in seconds.
+    """
+    rows, cols, vals, n_bins = _matrix_to_coo(bin_matrix)
+    n_top = max(1, min(n_top, n_bins - 1))   # tiny coarse levels
+    xk, topv = topk_rows(rows, cols, vals, n_bins, n_top)
+    w = np.where(topv > 0, topv, 0.0) ** fact
+    tot = w.sum(axis=1, keepdims=True)
+    pk = np.divide(w, tot, out=np.zeros_like(w), where=tot > 0)
+    # contact-free rows: uniform over arbitrary partners (the reference's
+    # descending argsort of an all-zero row lands on the highest bin ids)
+    empty = tot[:, 0] <= 0
+    if empty.any():
+        xk[empty] = (n_bins - 1 - np.arange(n_top))[None, :]
+        pk[empty] = 1.0 / n_top
+    pk = pk.astype(np.float32)
+
+    dispatcher, max_copies = build_dispatcher(id_d, n_bins)
 
     bl = np.zeros(n_frags, bool)
     bl[list(blacklisted)] = True

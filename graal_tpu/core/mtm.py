@@ -47,19 +47,28 @@ class JumpTable(NamedTuple):
 
 def build_jump_table(bin_matrix, norm_vect_accu, id_d, n_frags, delta) -> JumpTable:
     """Accu-normalised contact matrix -> per-fragment top-delta partners
-    (set_jumping_distributions_parameters, cuda_lib_gl.py:2563-2581)."""
-    m = np.asarray(bin_matrix, np.float64)
-    norm = np.outer(np.asarray(norm_vect_accu, np.float64),
-                    np.asarray(norm_vect_accu, np.float64))
-    normed = m / np.maximum(norm, 1e-12)
-    np.fill_diagonal(normed, -np.inf)
+    (set_jumping_distributions_parameters, cuda_lib_gl.py:2563-2581).
+
+    Vectorised O(nnz log nnz) construction; ``bin_matrix`` may be dense or
+    scipy.sparse.
+    """
+    from graal_tpu.core.mcmc import _matrix_to_coo, topk_rows
+
+    rows, cols, vals, n_bins = _matrix_to_coo(bin_matrix)
+    norm = np.asarray(norm_vect_accu, np.float64)
+    vals = vals / np.maximum(norm[rows] * norm[cols], 1e-12)
+    top_bins, topv = topk_rows(rows, cols, vals, n_bins, delta)
+    # rows with fewer than delta positive partners: pad with arbitrary
+    # distinct bins (the reference's argsort over zero entries)
+    pad = (n_bins - 1 - np.arange(delta))[None, :].astype(np.int32)
+    top_bins = np.where(topv > 0, top_bins, pad % n_bins)
+
     id_d = np.asarray(id_d)
-    frags = np.zeros((n_frags, delta), np.int32)
-    for f in range(n_frags):
-        row = normed[id_d[f]]
-        top_bins = np.argsort(row)[::-1][:delta]
-        # map partner bins back to (first) copy fragments
-        frags[f] = [int(np.nonzero(id_d == b)[0][0]) for b in top_bins]
+    # first copy fragment of each bin (reversed-scatter: lowest index wins)
+    first_copy = np.zeros(n_bins, np.int64)
+    n = len(id_d)
+    first_copy[id_d[::-1]] = np.arange(n - 1, -1, -1)
+    frags = first_copy[top_bins[id_d]].astype(np.int32)
     return JumpTable(frags=jnp.asarray(frags), delta=delta)
 
 
