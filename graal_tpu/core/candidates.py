@@ -45,12 +45,19 @@ def _stack(states):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *states)
 
 
-def build_candidates(state: GenomeState, f_a, f_b) -> GenomeState:
+def build_candidates(state: GenomeState, f_a, f_b, max_id=None) -> GenomeState:
     """Return a stacked batch (leading axis 13) of candidate genomes for
-    moving fragment ``f_a`` relative to neighbour ``f_b``."""
-    max_id = jnp.max(state.id_c)
+    moving fragment ``f_a`` relative to neighbour ``f_b``.
+
+    ``max_id``: the maximum contig id in use. Defaults to the state's own
+    maximum; pass the *global* maximum when ``state`` is a gathered
+    mini-state (delta scoring) so freshly assigned contig ids can never
+    collide with contigs outside the view.
+    """
+    if max_id is None:
+        max_id = jnp.max(state.id_c)
     popped = ops.pop_out(state, f_a, max_id)
-    m2 = jnp.max(popped.id_c)
+    m2 = jnp.maximum(jnp.max(popped.id_c), max_id)
 
     cands = [
         popped,                                           # 0: eject
@@ -68,10 +75,10 @@ def build_candidates(state: GenomeState, f_a, f_b) -> GenomeState:
     # with upstream=0 meaning "cut after").
     for up_a in (0, 1):
         t1 = ops.split(state, f_a, up_a, max_id)
-        m1 = jnp.max(t1.id_c)
+        m1 = jnp.maximum(jnp.max(t1.id_c), max_id)
         for up_b in (0, 1):
             t2 = ops.split(t1, f_b, up_b, m1)
-            mt = jnp.max(t2.id_c)
+            mt = jnp.maximum(jnp.max(t2.id_c), m1)
             cands.append(ops.paste(t2, f_a, f_b, mt))
     return _stack(cands)
 

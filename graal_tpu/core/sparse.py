@@ -1,0 +1,219 @@
+"""Sparse observed-contact representation and the chr1-scale likelihood.
+
+The reference stays sparse until densification (pyramid_sparse.py:1216-1219
+loads each level as CSR/CSC; simulation_loader.py:81-82 densifies at modest
+n). A dense S x S observed matrix is impossible at chr1 scale (~500k
+sub-fragments => 10^12 cells), so this module keeps the observed matrix as
+symmetric CSR-style triplets and evaluates the full Poisson log-likelihood
+without ever forming a dense pair grid:
+
+    L = sum_{s<t} [ob * log e - e - log ob!]
+      = 0.5 * sum_{sym nnz} ob * log e          (only observed pairs)
+        - sum_{s<t} e                           (expected mass)
+        + logfact_const                         (data constant)
+
+and the expected mass splits into an *analytic* trans term plus a *banded*
+cis correction:
+
+    sum e = v_inter/nfpb * ((sum a)^2 - sum a^2)/2     a_u = accu_u
+          + sum_{same contig, 0 < s < d_max} (e_cis - e_trans)
+
+because the Rippe curve is clamped to exactly v_inter outside (0, d_max)
+(kernels3.cu:120-133): a cis pair beyond d_max has the same expectation as
+a trans pair and drops out of the correction. The correction runs over a
+band of the genome-sorted sub order (offsets 1..w), with ``w`` chosen from
+the sub-fragment lengths so that any d_max window is covered.
+
+Cost per full evaluation: O(nnz + K log K + K * w) — linear-ish in the
+genome, no K^2 anywhere. Repeat-free geometry only.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graal_tpu.core.model import RippeParams, expected_contacts
+from graal_tpu.core.state import GenomeState
+from graal_tpu.core.subfrags import SubFragTable
+
+
+class SparseObs(NamedTuple):
+    """Symmetric sparse observed matrix (both (u,v) and (v,u) stored),
+    sorted by (row, col), CSR-indexable via ``row_start``."""
+
+    rows: jnp.ndarray       # (nnz_sym,) int32
+    cols: jnp.ndarray       # (nnz_sym,) int32
+    vals: jnp.ndarray       # (nnz_sym,) float32
+    row_start: jnp.ndarray  # (K+1,) int32 indptr
+    row_cap: int            # max entries of any row (static gather window)
+    n: int                  # K data subs
+    logfact_const: float    # -sum_{s<t} log(ob!)  (reference branch structure)
+
+
+def _logfact_const(vals_upper: np.ndarray) -> float:
+    """-sum log(ob!) with the reference's factorial branches
+    (kernels3.cu:80-93, :169-210): Stirling expansion for ob >= 15, floor +
+    exact factorial < 10, floor + Stirling 10..14."""
+    import math
+
+    ob = np.asarray(vals_upper, np.float64)
+    ob = ob[ob > 0]
+    out = np.zeros_like(ob)
+    big = ob >= 15
+    out[big] = -(ob[big] * np.log(ob[big]) - ob[big]
+                 + np.log(np.sqrt(ob[big] * 2 * np.pi)))
+    mid = (ob >= 10) & ~big
+    nn = np.floor(ob[mid])
+    out[mid] = -(nn * np.log(nn) - nn + 0.5 * np.log(2 * np.pi * nn))
+    small = ob < 10
+    out[small] = -np.array(
+        [math.lgamma(math.floor(x) + 1) for x in ob[small]])
+    return float(out.sum())
+
+
+def sparse_from_coo(rows, cols, vals, n: int) -> SparseObs:
+    """Build from upper-triangular (or unordered) COO triplets; duplicates
+    are summed, the diagonal is dropped, and the matrix is symmetrised."""
+    import scipy.sparse as sp
+
+    m = sp.coo_matrix((np.asarray(vals, np.float64),
+                       (np.asarray(rows), np.asarray(cols))), shape=(n, n))
+    m = m.tocsr()
+    m.sum_duplicates()
+    m.setdiag(0)
+    m.eliminate_zeros()
+    upper = sp.triu(m, k=1) + sp.triu(m.T, k=1)
+    sym = (upper + upper.T).tocsr()
+    sym.sort_indices()
+    counts = np.diff(sym.indptr)
+    coo = sym.tocoo()
+    return SparseObs(
+        rows=jnp.asarray(coo.row, jnp.int32),
+        cols=jnp.asarray(coo.col, jnp.int32),
+        vals=jnp.asarray(coo.data, jnp.float32),
+        row_start=jnp.asarray(sym.indptr, jnp.int32),
+        row_cap=int(counts.max()) if len(counts) else 1,
+        n=n,
+        logfact_const=_logfact_const(sp.triu(sym, k=1).tocoo().data))
+
+
+def sparse_from_dense(obs) -> SparseObs:
+    obs = np.asarray(obs)
+    iu, ju = np.nonzero(np.triu(obs, 1))
+    return sparse_from_coo(iu, ju, obs[iu, ju], obs.shape[0])
+
+
+def band_width(len_kb, d_max: float, margin: float = 2.0,
+               w_min: int = 8) -> int:
+    """Band width covering every same-contig pair within ``d_max`` kb.
+
+    Sub-fragments tile their contig, so p+1 consecutive subs span at least
+    the total length of the p-1 interior subs >= the sum of the p-1
+    smallest lengths genome-wide. The returned w satisfies: any window of
+    ``margin * d_max`` kb holds at most w+1 subs.
+    """
+    lens = np.sort(np.asarray(len_kb, np.float64))
+    cum = np.cumsum(lens)
+    p = int(np.searchsorted(cum, margin * d_max)) + 1
+    return max(w_min, min(p + 2, len(lens) - 1))
+
+
+def genome_sort_order(state: GenomeState, table: SubFragTable):
+    """Sub rows sorted by (contig, genomic position) under the current
+    genome — the band enumeration order. O(K log K) on device."""
+    start_kb = state.start_bp[table.owner].astype(jnp.float32) / 1000.0
+    ori = state.ori[table.owner]
+    mid = start_kb + jnp.where(ori == 1, table.prefix_kb, table.suffix_kb) \
+        + table.len_kb * 0.5
+    return jnp.lexsort((mid, state.id_c[table.owner])), mid
+
+
+def make_sparse_loglik(table: SubFragTable, sobs: SparseObs, w: int):
+    """Build ``fn(state, params) -> scalar`` — the full Poisson
+    log-likelihood, sparse/banded, exactly matching the dense
+    core.likelihood.log_likelihood on repeat-free geometry."""
+    assert not table.has_repeats, "sparse likelihood requires repeat-free tables"
+    k = table.n_subs
+    assert sobs.n == k
+    owner = table.owner
+    accu = table.accu
+    nfpb = jnp.float32(table.n_frags_per_bins)
+
+    def fn(state: GenomeState, params: RippeParams):
+        order, mid = genome_sort_order(state, table)
+        idc = state.id_c[owner]
+        circ = state.circ[owner]
+        stot = state.l_cont_bp[owner].astype(jnp.float32) / 1000.0
+
+        # ---- term1: observed pairs ----
+        u, v = sobs.rows, sobs.cols
+        s = jnp.abs(mid[u] - mid[v])
+        same = idc[u] == idc[v]
+        na = accu[u] * accu[v] / nfpb
+        e_obs = expected_contacts(s, same, circ[u] == 1, stot[u], na, params)
+        term1 = 0.5 * jnp.sum(sobs.vals * jnp.log(e_obs))
+
+        # ---- term2a: analytic trans mass ----
+        a_sum = jnp.sum(accu)
+        a_sq = jnp.sum(accu * accu)
+        trans_mass = params.v_inter * (a_sum * a_sum - a_sq) * 0.5 / nfpb
+
+        # ---- term2b: banded cis correction ----
+        mid_s = mid[order]
+        idc_s = idc[order]
+        circ_s = circ[order]
+        stot_s = stot[order]
+        accu_s = accu[order]
+
+        def body(off, acc):
+            # offset pairing: roll then mask the wrapped tail
+            mid_v = jnp.roll(mid_s, -off)
+            idc_v = jnp.roll(idc_s, -off)
+            accu_v = jnp.roll(accu_s, -off)
+            valid = jnp.arange(k) < (k - off)
+            s = jnp.abs(mid_s - mid_v)
+            same = (idc_s == idc_v) & valid
+            na = accu_s * accu_v / nfpb
+            e_cis = expected_contacts(s, same, circ_s == 1, stot_s, na,
+                                      params)
+            corr = jnp.where(same, e_cis - params.v_inter * na, 0.0)
+            return acc + jnp.sum(corr)
+
+        cis_corr = jax.lax.fori_loop(1, w + 1, body, jnp.float32(0.0))
+        return term1 - (trans_mass + cis_corr) + jnp.float32(sobs.logfact_const)
+
+    return fn
+
+
+def make_sparse_obs_fn(sobs: SparseObs, r_max: int):
+    """Dense (R, R) observed-count gather for a set of sub rows, built from
+    the symmetric CSR windows — the delta scorer's obs_fn at chr1 scale."""
+    cap = sobs.row_cap
+    nnz = sobs.cols.shape[0]
+
+    def obs_fn(sub_rows):
+        r = sub_rows.shape[0]
+        rc = jnp.clip(sub_rows, 0, sobs.n - 1)
+        start = sobs.row_start[rc]
+        end = sobs.row_start[rc + 1]
+        win = start[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+        win_valid = win < end[:, None]
+        win = jnp.clip(win, 0, nnz - 1)
+        cols = jnp.where(win_valid, sobs.cols[win], sobs.n)
+        vals = jnp.where(win_valid, sobs.vals[win], 0.0)
+        # membership: global sub id -> local slot (0 = absent)
+        slotmap = jnp.zeros(sobs.n + 1, jnp.int32).at[
+            jnp.clip(sub_rows, 0, sobs.n)].set(
+            jnp.arange(r, dtype=jnp.int32) + 1, mode="drop")
+        slot = slotmap[cols]
+        tgt = jnp.where(slot > 0, slot - 1, r)
+        ob = jnp.zeros((r, r), jnp.float32).at[
+            jnp.arange(r, dtype=jnp.int32)[:, None], tgt].add(
+            vals, mode="drop")
+        return ob
+
+    return obs_fn

@@ -164,20 +164,35 @@ def check_invariants(state: GenomeState, raise_on_error: bool = True):
         errors.append("ori not in {-1, +1}")
 
     # pos must be a permutation of 0..l_cont-1 within each contig, and the
-    # derived fields must match the stored ones.
-    ref = renormalize(state)
-    for f in ("start_bp", "l_cont", "l_cont_bp"):
-        if not np.array_equal(np.asarray(getattr(ref, f)), s[f]):
-            errors.append(f"stored {f} inconsistent with (id_c,pos,len_bp)")
-    for c in np.unique(s["id_c"]):
-        sel = s["id_c"] == c
-        p = np.sort(s["pos"][sel])
-        if not np.array_equal(p, np.arange(len(p))):
-            errors.append(f"pos not a permutation in contig {c}")
-            break
-        if not np.all(s["circ"][sel] == s["circ"][sel][0]):
-            errors.append(f"inconsistent circ flag in contig {c}")
-            break
+    # derived fields must match the stored ones. Sort-based derivation:
+    # O(n log n), usable at chr1 scale (the device-side renormalize builds
+    # an n x n mask — its n^2 memory is fine as a small-state oracle only).
+    n = len(s["pos"])
+    order = np.lexsort((s["pos"], s["id_c"]))
+    oc = s["id_c"][order]
+    new_seg = np.empty(n, bool)
+    if n:
+        new_seg[0] = True
+        new_seg[1:] = oc[1:] != oc[:-1]
+        seg_id = np.cumsum(new_seg) - 1
+        starts = np.nonzero(new_seg)[0]
+        pos_in_seg = np.arange(n) - starts[seg_id]
+        if not np.array_equal(s["pos"][order], pos_in_seg):
+            errors.append("pos not a permutation within some contig")
+        lens = s["len_bp"][order].astype(np.int64)
+        cum = np.cumsum(lens) - lens
+        start_ref = cum - cum[starts[seg_id]]
+        if not np.array_equal(s["start_bp"][order], start_ref):
+            errors.append("stored start_bp inconsistent with (id_c,pos,len_bp)")
+        seg_count = np.bincount(seg_id)
+        if not np.array_equal(s["l_cont"][order], seg_count[seg_id]):
+            errors.append("stored l_cont inconsistent with (id_c,pos)")
+        seg_bp = np.add.reduceat(lens, starts)
+        if not np.array_equal(s["l_cont_bp"][order], seg_bp[seg_id]):
+            errors.append("stored l_cont_bp inconsistent with (id_c,len_bp)")
+        circ_o = s["circ"][order]
+        if not np.array_equal(circ_o, circ_o[starts[seg_id]]):
+            errors.append("inconsistent circ flag within some contig")
     if errors and raise_on_error:
         raise AssertionError("genome state corrupted: " + "; ".join(errors))
     return errors

@@ -1,6 +1,9 @@
 """Delta scoring vs full scoring — the reference's own oracle pattern
 (debug_step_max_likelihood recomputes every candidate with the full kernel,
-cuda_lib_gl.py:2109-2292)."""
+cuda_lib_gl.py:2109-2292). The delta engine scores on the affected-contig
+mini-state (O(|D|^2) per candidate), so every test cross-checks against the
+full dense likelihood of the complete genome.
+"""
 
 import numpy as np
 import jax
@@ -9,8 +12,9 @@ import pytest
 
 from graal_tpu.core import delta, likelihood, mcmc
 from graal_tpu.core.candidates import N_CANDIDATES, build_candidates
-from graal_tpu.core.state import GenomeState
-from graal_tpu.utils.synthetic import default_params, make_genome, simulate_contacts
+from graal_tpu.core.state import GenomeState, check_invariants
+from graal_tpu.utils.synthetic import (bin_level_matrix, default_params,
+                                       make_genome, simulate_contacts)
 
 
 @pytest.fixture(scope="module")
@@ -26,37 +30,86 @@ def full_scores(cands_flat, table, obs, params):
         lambda c: likelihood.log_likelihood(c, table, obs, params))(cands_flat)
 
 
-def test_delta_matches_full_difference(problem):
+def _dscore(problem, f_max, **kw):
     state, table, params, obs = problem
-    dscore = delta.make_delta_scorer(table, obs, r_max=64)
+    return jax.jit(delta.make_delta_scorer(table, obs, f_max, **kw))
+
+
+@pytest.mark.parametrize("candidate_batch", ["vmap", "map"])
+def test_delta_matches_full_difference(problem, candidate_batch):
+    state, table, params, obs = problem
+    dscore = _dscore(problem, f_max=16, candidate_batch=candidate_batch)
     l0 = float(likelihood.log_likelihood(state, table, obs, params))
+    max_id = jnp.max(state.id_c)
 
     rng = np.random.default_rng(0)
     n = state.n_frags
     for trial in range(4):
         f_a, f_b = int(rng.integers(n)), int(rng.integers(n))
         cands = build_candidates(state, f_a, f_b)
-        dll, overflow = dscore(state, cands, params)
+        dll, minis, rows, valid, overflow = dscore(
+            state, jnp.int32(f_a), jnp.int32(f_b), params, max_id)
+        assert not bool(overflow)
         want = np.asarray(full_scores(cands, table, obs, params)) - l0
-        got = np.asarray(dll)
-        ov = np.asarray(overflow)
-        # sentinel scores are finite — exclusion happens via the mask only
-        assert np.all(np.isfinite(got))
-        for i in range(N_CANDIDATES):
-            if not ov[i]:
-                np.testing.assert_allclose(got[i], want[i], rtol=1e-3,
-                                           atol=0.3,
-                                           err_msg=f"trial {trial} cand {i}")
+        np.testing.assert_allclose(np.asarray(dll), want, rtol=1e-3, atol=0.3,
+                                   err_msg=f"trial {trial} fa={f_a} fb={f_b}")
+
+
+def test_delta_matches_on_circular_contig(problem):
+    """Pairs on circularised contigs use the circular Rippe variant — the
+    mini-state path must agree with the full path there too."""
+    state, table, params, obs = problem
+    # circularise contig 0 by setting its circ flag
+    in0 = np.asarray(state.id_c) == 0
+    circ = np.asarray(state.circ).copy()
+    circ[in0] = 1
+    state = state._replace(circ=jnp.asarray(circ, jnp.int32))
+    dscore = _dscore(problem, f_max=16)
+    l0 = float(likelihood.log_likelihood(state, table, obs, params))
+    f_a = int(np.nonzero(in0)[0][1])
+    f_b = int(np.nonzero(~in0)[0][0])
+    cands = build_candidates(state, f_a, f_b)
+    dll, *_ , overflow = dscore(state, jnp.int32(f_a), jnp.int32(f_b),
+                                params, jnp.max(state.id_c))
+    assert not bool(overflow)
+    want = np.asarray(full_scores(cands, table, obs, params)) - l0
+    np.testing.assert_allclose(np.asarray(dll), want, rtol=1e-3, atol=0.3)
+
+
+def test_mini_commit_equals_full_candidates(problem):
+    """Scattering the selected mini-candidate back into the full state must
+    reproduce build_candidates applied to the full state, for every op."""
+    state, table, params, obs = problem
+    dscore = _dscore(problem, f_max=16)
+    max_id = jnp.max(state.id_c)
+    rng = np.random.default_rng(5)
+    n = state.n_frags
+    for trial in range(3):
+        f_a, f_b = int(rng.integers(n)), int(rng.integers(n))
+        if f_a == f_b:
+            continue
+        _, minis, rows, valid, _ = dscore(state, jnp.int32(f_a),
+                                          jnp.int32(f_b), params, max_id)
+        full_cands = build_candidates(state, f_a, f_b)
+        for op in range(N_CANDIDATES):
+            mini_op = jax.tree.map(lambda x: x[op], minis)
+            committed = delta.scatter_mini(state, mini_op, rows, valid)
+            want = jax.tree.map(lambda x: x[op], full_cands)
+            for fname in GenomeState._fields:
+                np.testing.assert_array_equal(
+                    np.asarray(getattr(committed, fname)),
+                    np.asarray(getattr(want, fname)),
+                    err_msg=f"trial {trial} op {op} field {fname}")
+            check_invariants(committed)
 
 
 def test_overflow_marks_oversized_changes(problem):
     state, table, params, obs = problem
-    # r_max too small for any contig-touching mutation
-    dscore = delta.make_delta_scorer(table, obs, r_max=4)
-    cands = build_candidates(state, 3, 20)
-    dll, overflow = dscore(state, cands, params)
-    ov = np.asarray(overflow)
-    assert ov.any()
+    # f_max smaller than any 6-fragment contig pair
+    dscore = _dscore(problem, f_max=4)
+    dll, minis, rows, valid, overflow = dscore(
+        state, jnp.int32(3), jnp.int32(20), params, jnp.max(state.id_c))
+    assert bool(overflow)
     assert np.all(np.isfinite(np.asarray(dll)))
 
 
@@ -81,19 +134,17 @@ def test_overflow_cannot_poison_selection():
     state, table = make_genome(n_bins=12, n_contigs=3, subs_per_bin=3, seed=7)
     params = default_params(fact=2000.0)
     obs = simulate_contacts(state, table, params, seed=7)
-    import graal_tpu.core.mcmc as mcmc_mod
-    from graal_tpu.utils.synthetic import bin_level_matrix
     bins = bin_level_matrix(np.asarray(obs), table)
-    nb = mcmc_mod.build_neighbour_table(bins, np.arange(12), 12)
-    step = delta.make_delta_em_step(table, obs, nb, delta=2, r_max=2)
+    nb = mcmc.build_neighbour_table(bins, np.arange(12), 12)
+    step = delta.make_delta_em_step(table, obs, nb, delta=2, f_max=2)
     l_t = jnp.float32(-100.0)
     new_state, l_new, (op, fb, n_over) = jax.jit(step)(
         state, jax.random.key(1), params, l_t, jnp.int32(0), jnp.float32(1.0))
     assert int(n_over) > 0
-    if int(op) == -1:   # all slots overflowed -> untouched state, same l_t
-        np.testing.assert_array_equal(np.asarray(new_state.id_c),
-                                      np.asarray(state.id_c))
-        assert float(l_new) == float(l_t)
+    assert int(op) == -1   # every contig has 4 frags > f_max=2 -> all overflow
+    np.testing.assert_array_equal(np.asarray(new_state.id_c),
+                                  np.asarray(state.id_c))
+    assert float(l_new) == float(l_t)
 
 
 def test_delta_cycle_assembles(problem):
@@ -101,26 +152,43 @@ def test_delta_cycle_assembles(problem):
     cycle (exploded start: tiny contigs, small change sets)."""
     state, table, params, obs = problem
     n = state.n_frags
-    from graal_tpu.utils.synthetic import bin_level_matrix
     bins = bin_level_matrix(obs, table)
     nb = mcmc.build_neighbour_table(bins, np.arange(n), n)
-    cycle = delta.make_delta_em_cycle(table, obs, nb, delta=4, r_max=64)
+    cycle = delta.make_delta_em_cycle(table, obs, nb, delta=4, f_max=24)
 
     scrambled = mcmc.explode_genome(state)
     ll0 = float(likelihood.log_likelihood(scrambled, table, obs, params))
     ll_true = float(likelihood.log_likelihood(state, table, obs, params))
     cur, l_t = scrambled, jnp.float32(ll0)
     key = jax.random.key(2)
-    total_overflow = 0
     for j in range(6):
         key, k1, k2 = jax.random.split(key, 3)
         order = jax.random.permutation(k1, n)
         cur, l_t, (lls, ops_, fbs, overs, ncs) = cycle(
             cur, k2, params, order, l_t, jnp.float32(1.0))
-        total_overflow += int(np.sum(np.asarray(overs)))
     final = float(l_t)
+    check_invariants(cur)
     assert final > ll0 + 0.7 * (ll_true - ll0), \
         f"scr={ll0:.1f} final={final:.1f} true={ll_true:.1f}"
     # anchored likelihood must equal a fresh full evaluation
     fresh = float(likelihood.log_likelihood(cur, table, obs, params))
     np.testing.assert_allclose(final, fresh, rtol=1e-4)
+
+
+def test_incremental_l_t_tracks_full(problem):
+    """The incrementally carried l_t (sum of committed dLs) must track the
+    true likelihood within f32 tolerance across a cycle."""
+    state, table, params, obs = problem
+    n = state.n_frags
+    bins = bin_level_matrix(obs, table)
+    nb = mcmc.build_neighbour_table(bins, np.arange(n), n)
+    step = jax.jit(delta.make_delta_em_step(table, obs, nb, delta=3, f_max=24))
+    cur = mcmc.explode_genome(state)
+    l_t = jnp.float32(likelihood.log_likelihood(cur, table, obs, params))
+    key = jax.random.key(9)
+    for f_a in range(0, n, 3):
+        key, sub = jax.random.split(key)
+        cur, l_t, _ = step(cur, sub, params, l_t, jnp.int32(f_a),
+                           jnp.float32(1.0))
+    fresh = float(likelihood.log_likelihood(cur, table, obs, params))
+    np.testing.assert_allclose(float(l_t), fresh, rtol=5e-4, atol=1.0)
