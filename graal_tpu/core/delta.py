@@ -142,6 +142,7 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, obs_fn=None,
     'auto' switches on the pair-grid size.
     """
     mt = build_mini_table(table)
+    f_max = min(f_max, mt.n_frags)   # top_k cannot exceed the genome
     s_max = mt.s_max
     r_max = f_max * s_max
     if obs_fn is None:

@@ -290,11 +290,14 @@ def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32,
     v_inter) are re-derived; accepted with probability
     exp((L* - L_t) / F_t).
 
-    ``scorer``: optional batched likelihood fn (e.g. the Pallas kernel) used
-    for the test-parameter evaluation, so the nuisance path shares the EM
-    step's fast scorer instead of falling back to the jnp likelihood.
+    ``scorer``: optional batched likelihood fn (e.g. the Pallas kernel or a
+    sparse evaluation) used for the test-parameter evaluation, so the
+    nuisance path shares the EM step's fast scorer instead of falling back
+    to the jnp likelihood. With a scorer, ``obs`` may be None (chr1 scale:
+    no dense matrix exists).
     """
-    obs = jnp.asarray(obs, jnp.float32)
+    if obs is not None:
+        obs = jnp.asarray(obs, jnp.float32)
     sigma_slope = 0.05
     sigma_d_max = 100.0
     sigma_d_nuc = 0.5

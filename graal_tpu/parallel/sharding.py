@@ -174,6 +174,43 @@ def make_sharded_em_step(mesh: Mesh, table: SubFragTable, obs,
     return step
 
 
+def make_sharded_delta_cycle(mesh: Mesh, table: SubFragTable, nb,
+                             delta: int, f_max: int, obs=None, obs_fn=None):
+    """Chains-sharded chr1-scale cycle: every chain runs the mini-state
+    delta EM scan on its own device(s); observed contacts are read through
+    ``obs_fn`` (sparse CSR windows, replicated — the sparse triplets are
+    O(nnz), small next to a dense grid).
+
+    This is the scale-out shape for the chr1-class configs: the delta
+    scorer's pair grids are tiny (f_max^2), so the parallel axis worth
+    spending devices on is chains (tempered or independent restarts), not
+    rows. Returns cycle(states, keys, params, orders, l_ts, f_ts) ->
+    (states, l_ts) with leading dim n_chains on every arg.
+    """
+    from graal_tpu.core import delta as delta_mod
+
+    step = delta_mod.make_delta_em_step(table, obs, nb, delta, f_max,
+                                        obs_fn=obs_fn)
+
+    def one_chain(state, key, params, order, l_t, f_t):
+        def body(carry, f_a):
+            state, key, l_t = carry
+            key, sub = jax.random.split(key)
+            state, l_t, _ = step(state, sub, params, l_t, f_a, f_t)
+            return (state, key, l_t), None
+
+        (state, key, l_t), _ = jax.lax.scan(body, (state, key, l_t), order)
+        return state, l_t
+
+    batched = jax.vmap(one_chain, in_axes=(0, 0, None, 0, 0, 0))
+    sharded = shard_map(
+        batched, mesh=mesh,
+        in_specs=(P("chains"), P("chains"), P(), P("chains"), P("chains"),
+                  P("chains")),
+        out_specs=(P("chains"), P("chains")), check_vma=False)
+    return jax.jit(sharded)
+
+
 def make_chain_exchange(mesh: Mesh):
     """Best-genome exchange across chains: all-gather per-chain likelihoods,
     broadcast the argmax genome to every chain (the periodic exchange of the

@@ -1,10 +1,18 @@
 """Parallel-tempered multi-chain assembly.
 
-Runs N independent annealing chains — each a full EM cycle at its own
-temperature — batched over devices ('chains' mesh axis via shard_map) or
-vmapped on a single chip, with a periodic best-genome exchange: the
-highest-likelihood genome replaces every chain (the cold-restart flavour of
-parallel tempering; the reference is strictly single-chain).
+Runs N chains — each a full EM cycle at its own temperature — batched over
+devices ('chains' mesh axis via shard_map) or vmapped on a single chip.
+Chains exchange via **canonical parallel tempering**: adjacent-temperature
+pairs swap states with the Metropolis probability
+
+    min(1, exp((1/T_i - 1/T_j) * (L_j - L_i)))
+
+alternating even/odd pairings each round, so hot chains keep exploring
+while improvements percolate down the ladder (the round-1 broadcast-best
+scheme destroyed the hot chains' exploration state). A final best-genome
+consolidation remains available as an explicit post-processing step.
+The reference is strictly single-chain; its author marked the fan-out
+point at cuda_lib_gl.py:1886.
 """
 
 from __future__ import annotations
@@ -69,8 +77,9 @@ def make_tempered_cycle(table: SubFragTable, obs, nb, delta: int,
 
 
 def exchange_best(states: GenomeState, l_ts):
-    """Broadcast the best chain's genome to all chains (single-host path;
-    the mesh path is parallel.sharding.make_chain_exchange)."""
+    """Broadcast the best chain's genome to all chains — the final
+    consolidation step only (the mesh flavour is
+    parallel.sharding.make_chain_exchange)."""
     best = jnp.argmax(l_ts)
     n = l_ts.shape[0]
     best_state = jax.tree.map(lambda x: x[best], states)
@@ -79,17 +88,44 @@ def exchange_best(states: GenomeState, l_ts):
     return GenomeState(*out), jnp.broadcast_to(l_ts[best], (n,))
 
 
+def pt_swap(states: GenomeState, l_ts, ladder, key, parity):
+    """One round of adjacent-pair replica-exchange swaps.
+
+    Pairs (i, i+1) with i % 2 == parity propose to exchange states;
+    acceptance is the canonical exp((beta_i - beta_{i+1}) (L_{i+1} - L_i)).
+    Temperatures stay attached to chain slots; states (and their cached
+    likelihoods) migrate. Works identically on vmapped or chains-sharded
+    state batches (the permutation gather lowers to a collective when
+    sharded).
+
+    Returns (states, l_ts, accept_mask (n_chains-1,)).
+    """
+    n = l_ts.shape[0]
+    idx = jnp.arange(n)
+    beta = 1.0 / ladder
+    log_ratio = (beta[:-1] - beta[1:]) * (l_ts[1:] - l_ts[:-1])
+    u = jax.random.uniform(key, (n - 1,))
+    accept = (jnp.log(u) < log_ratio) & (idx[:-1] % 2 == parity)
+    acc_lo = jnp.zeros(n, bool).at[:-1].set(accept)   # swap (k, k+1)
+    acc_hi = jnp.zeros(n, bool).at[1:].set(accept)
+    src = jnp.where(acc_lo, idx + 1, jnp.where(acc_hi, idx - 1, idx))
+    out = jax.tree.map(lambda x: x[src], states)
+    return GenomeState(*out), l_ts[src], accept
+
+
 def run_tempered(table: SubFragTable, obs, nb, state0: GenomeState,
                  params: RippeParams, n_chains: int, n_cycles: int,
-                 delta: int = 4, t_max: float = 4.0, exchange_every: int = 2,
+                 delta: int = 4, t_max: float = 4.0, exchange_every: int = 1,
                  seed: int = 1, mesh: Mesh | None = None, scorer=None,
-                 progress=True):
-    """Full tempered run from a single start genome. Returns the cold
-    chain's final (state, likelihood) and the per-cycle likelihood trace."""
+                 consolidate: bool = True, progress=True):
+    """Full tempered run from a single start genome: per-cycle
+    replica-exchange swaps, optional final best-genome consolidation.
+    Returns (cold state, cold likelihood, metrics dict) with per-cycle
+    likelihoods of every chain, swap acceptance counts and contig counts."""
     import time
 
     cycle = make_tempered_cycle(table, obs, nb, delta, mesh=mesh, scorer=scorer)
-    exchange = jax.jit(exchange_best)
+    swap = jax.jit(pt_swap, static_argnames=("parity",))
 
     n = state0.n_frags
     states = GenomeState(*[jnp.stack([x] * n_chains) for x in state0])
@@ -103,20 +139,29 @@ def run_tempered(table: SubFragTable, obs, nb, state0: GenomeState,
     ladder = jnp.asarray(temperature_ladder(n_chains, t_max=t_max))
     key = jax.random.key(seed)
 
-    trace = []
+    trace, swap_counts, contig_trace = [], [], []
     t0 = time.time()
     for j in range(n_cycles):
-        key, k_perm, k_cycle = jax.random.split(key, 3)
+        key, k_perm, k_cycle, k_swap = jax.random.split(key, 4)
         orders = jax.vmap(lambda k: jax.random.permutation(k, n))(
             jax.random.split(k_perm, n_chains))
         keys = jax.random.split(k_cycle, n_chains)
         states, l_ts, ncs = cycle(states, keys, params, orders, l_ts, ladder)
-        if exchange_every and (j + 1) % exchange_every == 0:
-            states, l_ts = exchange(states, l_ts)
+        n_swaps = 0
+        if exchange_every and (j + 1) % exchange_every == 0 and n_chains > 1:
+            states, l_ts, acc = swap(states, l_ts, ladder, k_swap,
+                                     parity=j % 2)
+            n_swaps = int(np.sum(np.asarray(acc)))
         trace.append(np.asarray(l_ts).copy())
+        swap_counts.append(n_swaps)
+        contig_trace.append(np.asarray(ncs).copy())
         if progress:
             print(f"tempered cycle {j}: best={float(jnp.max(l_ts)):.1f} "
-                  f"cold={float(l_ts[0]):.1f} "
+                  f"cold={float(l_ts[0]):.1f} swaps={n_swaps} "
                   f"({time.time() - t0:.1f}s)", flush=True)
+    if consolidate and n_chains > 1:
+        states, l_ts = jax.jit(exchange_best)(states, l_ts)
     cold = jax.tree.map(lambda x: x[0], states)
-    return GenomeState(*cold), float(l_ts[0]), np.asarray(trace)
+    metrics = {"trace": np.asarray(trace), "swaps": swap_counts,
+               "n_contigs": np.asarray(contig_trace)}
+    return GenomeState(*cold), float(l_ts[0]), metrics

@@ -308,7 +308,7 @@ class Runner:
         if cfg.sampler.scrambled:
             state = jax.jit(mcmc.explode_genome)(state)
         scorer, _ = self._make_scorer()
-        final, l_cold, trace = run_tempered(
+        final, l_cold, pt = run_tempered(
             self.table, self.obs, self.nb, state, self.params,
             n_chains=n_chains, n_cycles=n_cycles,
             delta=cfg.sampler.n_neighbours, t_max=t_max,
@@ -316,8 +316,14 @@ class Runner:
             mesh=mesh, scorer=scorer, progress=progress)
         check_invariants(final)
         self.state = final
-        metrics = {"likelihood": trace[:, 0].tolist(),
-                   "n_contigs": [], "dist_init_genome": []}
+        dist = dist_inter_genome(final, self.init_prev, self.init_next,
+                                 self.init_ori, self.orientable,
+                                 self.dist_skip)
+        metrics = {"likelihood": pt["trace"][:, 0].tolist(),
+                   "likelihood_all_chains": pt["trace"].tolist(),
+                   "swap_accepts": list(pt["swaps"]),
+                   "n_contigs": pt["n_contigs"][:, 0].tolist(),
+                   "dist_init_genome": [dist]}
         return Assembly(state=final, params=self.params, table=self.table,
                         obs=self.obs, metrics=metrics, level=self.level)
 

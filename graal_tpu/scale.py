@@ -1,0 +1,186 @@
+"""Chr1-scale assembly orchestration: sparse obs + delta scoring end to end.
+
+The BASELINE configuration the dense pipeline cannot reach (~500k
+fragments: a dense S x S observed matrix would be 10^12 cells). This
+runner wires the sparse pieces together:
+
+- observed contacts stay as :class:`core.sparse.SparseObs` throughout,
+- candidate scoring is the O(|D|^2) mini-state delta engine
+  (core.delta), with the static contig-capacity bucket ``f_max`` grown
+  geometrically between cycles as contigs coalesce (one re-jit per
+  bucket — the reference sizes its kernel workload per step the same way,
+  cuda_lib_gl.py:2477-2483),
+- the carried likelihood is re-anchored once per cycle by the sparse
+  banded full evaluation, which also powers optional per-cycle nuisance
+  parameter sampling (per-step sampling would cost a full O(nnz + K*w)
+  evaluation per step at this scale; the reference's per-step choice is
+  affordable only because its problems are 10^3 bins).
+
+Multi-chip: see parallel.sharding.make_sharded_delta_scorer (candidates
+sharded over the mesh; the mini-state pair grids are small, so the win is
+across candidates, not rows).
+"""
+
+from __future__ import annotations
+
+import time
+
+import numpy as np
+
+from graal_tpu.core import delta as delta_mod
+from graal_tpu.core import mcmc, sparse
+from graal_tpu.core.model import RippeParams
+from graal_tpu.core.state import GenomeState, check_invariants, dist_inter_genome
+from graal_tpu.core.subfrags import SubFragTable
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
+
+
+def max_contig_subs(state: GenomeState, table: SubFragTable) -> int:
+    """Largest contig size measured in sub-fragments (host, O(n log n))."""
+    id_c = np.asarray(state.id_c)
+    counts = np.asarray(delta_mod.build_mini_table(table).sub_count,
+                        np.float64)
+    _, inv = np.unique(id_c, return_inverse=True)
+    return int(np.bincount(inv, weights=counts).max())
+
+
+class ScaleRunner:
+    """One configured chr1-scale assembly run."""
+
+    def __init__(self, table: SubFragTable, sobs: sparse.SparseObs,
+                 params: RippeParams, nb: mcmc.NeighbourTable | None = None,
+                 band_margin: float = 2.0):
+        import scipy.sparse as sp
+
+        self.table = table
+        self.sobs = sobs
+        self.params = params
+        if nb is None:
+            n = sobs.n
+            m = sp.coo_matrix(
+                (np.asarray(sobs.vals),
+                 (np.asarray(sobs.rows), np.asarray(sobs.cols))),
+                shape=(n, n)).tocsr()
+            nb = mcmc.build_neighbour_table(m, np.arange(n), n)
+        self.nb = nb
+        self.w = sparse.band_width(np.asarray(table.len_kb),
+                                   float(params.d_max), margin=band_margin)
+        # nuisance d_max proposals must stay inside the band coverage
+        self.max_covered_d_max = float(
+            np.sort(np.asarray(table.len_kb))[: self.w].sum())
+        self._anchor = None
+        self._cycles = {}      # f_max bucket -> compiled cycle
+        self._nuis = None
+
+    # ---- compiled pieces ---------------------------------------------------
+    def anchor_fn(self):
+        import jax
+
+        if self._anchor is None:
+            self._anchor = jax.jit(
+                sparse.make_sparse_loglik(self.table, self.sobs, self.w))
+        return self._anchor
+
+    def scorer(self):
+        """Batched sparse full-likelihood scorer (nuisance sampling)."""
+        import jax
+
+        anchor = sparse.make_sparse_loglik(self.table, self.sobs, self.w)
+        return lambda sb, p: jax.vmap(lambda s: anchor(s, p))(sb)
+
+    def cycle_for(self, f_max: int, delta: int):
+        if (f_max, delta) not in self._cycles:
+            s_max = delta_mod.build_mini_table(self.table).s_max
+            obs_fn = sparse.make_sparse_obs_fn(self.sobs, f_max * s_max)
+            self._cycles[(f_max, delta)] = delta_mod.make_delta_em_cycle(
+                self.table, None, self.nb, delta=delta, f_max=f_max,
+                obs_fn=obs_fn, anchor_fn=sparse.make_sparse_loglik(
+                    self.table, self.sobs, self.w))
+        return self._cycles[(f_max, delta)]
+
+    def nuisance_step(self):
+        import jax
+
+        if self._nuis is None:
+            self._nuis = jax.jit(mcmc.make_nuisance_step(
+                self.table, None, scorer=self.scorer()))
+        return self._nuis
+
+    # ---- run ---------------------------------------------------------------
+    def run(self, state0: GenomeState, n_cycles: int, delta: int = 4,
+            steps_per_cycle: int | None = None, f_max_min: int = 256,
+            f_max_cap: int = 1 << 14, f_t: float = 1.0,
+            sample_param: bool = False, seed: int = 1, progress: bool = True,
+            init_truth: GenomeState | None = None):
+        """Assemble from ``state0``. ``steps_per_cycle`` caps the fragment
+        steps per cycle (default: every fragment once, like the reference's
+        start_EM); ``init_truth`` enables the dist_inter_genome series."""
+        import jax
+        import jax.numpy as jnp
+
+        n = state0.n_frags
+        steps = steps_per_cycle or n
+        key = jax.random.key(seed)
+        state = state0
+        params = self.params
+        anchor = self.anchor_fn()
+        l_t = anchor(state, params)
+        s_max = delta_mod.build_mini_table(self.table).s_max
+
+        dist_ref = None
+        if init_truth is not None:
+            from graal_tpu.core.state import derive_prev_next
+
+            ip, inx = derive_prev_next(init_truth)
+            id_d = np.asarray(init_truth.id_d)
+            ip = np.where(ip != -1, id_d[np.clip(ip, 0, None)], -1)
+            inx = np.where(inx != -1, id_d[np.clip(inx, 0, None)], -1)
+            # single-sub bins carry no orientation signal -> unorientable
+            orientable = np.asarray(
+                delta_mod.build_mini_table(self.table).sub_count) > 1
+            dist_ref = (ip, inx, np.asarray(init_truth.ori),
+                        orientable, np.zeros(n, bool))
+
+        metrics = {"likelihood": [], "n_contigs": [], "overflow": [],
+                   "dist_init_genome": [], "f_max": [], "cycle_s": []}
+        t0 = time.time()
+        for j in range(n_cycles):
+            bucket = _next_pow2(2 * max_contig_subs(state, self.table)
+                                + 2 * s_max)
+            bucket = int(np.clip(bucket, f_max_min, f_max_cap))
+            bucket = min(bucket, _next_pow2(n))
+            cycle = self.cycle_for(bucket, delta)
+            key, k_perm, k_cycle, k_nuis = jax.random.split(key, 4)
+            order = jax.random.permutation(k_perm, n)[:steps]
+            tc = time.time()
+            state, l_t, (lls, ops_, fbs, overs, ncs) = cycle(
+                state, k_cycle, params, order, l_t, jnp.float32(f_t))
+            if sample_param:
+                params, l_t, _ = self.nuisance_step()(
+                    state, k_nuis, params, l_t, jnp.float32(f_t))
+            l_t = jax.block_until_ready(l_t)
+            cycle_s = time.time() - tc
+            n_over = int(np.sum(np.asarray(overs)))
+            nc = int(np.asarray(ncs)[-1])
+            metrics["likelihood"].append(float(l_t))
+            metrics["n_contigs"].append(nc)
+            metrics["overflow"].append(n_over)
+            metrics["f_max"].append(bucket)
+            metrics["cycle_s"].append(cycle_s)
+            dist = None
+            if dist_ref is not None:
+                dist = dist_inter_genome(state, *dist_ref)
+                metrics["dist_init_genome"].append(dist)
+            if progress:
+                msg = (f"scale cycle {j}: loglik={float(l_t):.1f} "
+                       f"n_contigs={nc} f_max={bucket} overflow={n_over} "
+                       f"({cycle_s:.1f}s, total {time.time() - t0:.1f}s)")
+                if dist is not None:
+                    msg += f" dist={dist:.3f}"
+                print(msg, flush=True)
+        check_invariants(state)
+        self.params = params
+        return state, params, metrics

@@ -32,10 +32,12 @@ from graal_tpu.core.subfrags import SubFragTable
 
 
 def scale_params(bin_kb: float = 3.0, n_bins: int = 100_000) -> RippeParams:
-    """Rippe parameters giving realistic sparse coverage: near-diagonal
-    expectations O(5-10) counts, trans expectation ~1e-4 per pair."""
+    """Rippe parameters giving deep-coverage sparse maps: near-diagonal
+    expectations ~20 counts (recovery needs this signal depth — at ~5
+    counts/pair the T=1 sampler stalls in local optima), trans expectation
+    1e-3 per pair."""
     return RippeParams.create(kuhn=1.0, lm=9.6, slope=-1.5, d=3.0,
-                              fact=2000.0, d_max=900.0, v_inter=1e-4)
+                              fact=6000.0, d_max=900.0, v_inter=1e-3)
 
 
 def make_scale_genome(n_bins: int, n_contigs: int, mean_len_bp: int = 3000,
