@@ -40,10 +40,21 @@ def _sparsity_filter_threshold(coverage_nnz, n_frags):
     return spars, spars.mean() - 1.01 * spars.std()
 
 
-def filter_fragments(frags: FragmentTable, contig_names, rows, cols, counts):
+def filter_fragments(frags: FragmentTable, contig_names, rows, cols, counts,
+                     ref_quirks: bool = False):
     """Remove low-coverage fragments, merging each run of removed fragments
     forward into the next kept fragment of the same contig; trailing runs
     at a contig end are destroyed (pyramid_sparse.py:639-756).
+
+    ``ref_quirks`` replicates an upstream defect for bit-exact parity
+    runs: the reference resets size/gc/span but NOT the accumulated
+    ``accu_frag`` at a contig boundary (pyramid_sparse.py:744 vs :714), so
+    a destroyed run at a contig's tail leaks its accu count into the next
+    contig's first kept fragment. Off by default (sane semantics).
+
+    The frag_start/frag_end columns of the filtered list hold the new
+    fragment's contig-relative id (both ends; pyramid_sparse.py:735-736) —
+    higher pyramid levels derive their accu counts from spans of these.
 
     Returns (new_frags, old_to_new (0-based, -1 destroyed), kept contig
     info arrays, remapped COO).
@@ -64,6 +75,7 @@ def filter_fragments(frags: FragmentTable, contig_names, rows, cols, counts):
 
     new_id = 0
     i = 0
+    accu_carry = 0            # reference quirk: leaks across contig ends
     while i < n:
         c = chrom_arr[i]
         j = i
@@ -79,10 +91,12 @@ def filter_fragments(frags: FragmentTable, contig_names, rows, cols, counts):
                 keep_idx.append(j)
                 merged_start.append(frags.start_pos[first])
                 merged_size.append(frags.end_pos[j] - frags.start_pos[first])
-                merged_accu.append(int(np.sum(frags.accu_frag[run])))
+                merged_accu.append(int(np.sum(frags.accu_frag[run]))
+                                   + accu_carry)
+                accu_carry = 0
                 merged_gc.append(float(np.mean(frags.gc_content[run])))
-                merged_ifs.append(int(frags.init_frag_start[first]))
-                merged_ife.append(int(frags.init_frag_end[j]))
+                merged_ifs.append(rel)
+                merged_ife.append(rel)
                 new_rel.append(rel)
                 new_chrom.append(c)
                 rel += 1
@@ -90,6 +104,8 @@ def filter_fragments(frags: FragmentTable, contig_names, rows, cols, counts):
                 run = []
             j += 1
         # trailing bad run at the contig end: destroyed (old_to_new stays -1)
+        if ref_quirks and run:
+            accu_carry += int(np.sum(frags.accu_frag[run]))
         i = j
 
     new_frags = FragmentTable(
@@ -122,14 +138,25 @@ def filter_fragments(frags: FragmentTable, contig_names, rows, cols, counts):
 
 
 def subsample_level(frags: FragmentTable, contig_n_frags: dict, factor: int,
-                    rows, cols, counts, min_bin_per_contig: int = 1):
+                    rows, cols, counts, min_bin_per_contig: int = 1,
+                    ref_quirks: bool = False):
     """Bin ``factor`` collinear fragments per new bin
     (subsample_data_set, pyramid_sparse.py:358-569).
 
     Contigs with fewer than factor * min_bin_per_contig fragments keep their
     fragments unbinned. Returns (new_frags, old_to_new 0-based, contig info,
     COO).
+
+    ``ref_quirks``: the reference's contact rewrite consumes the header
+    with readline() and then ALSO starts its loop at line 1
+    (pyramid_sparse.py:526-530), silently dropping the first contact entry
+    of every level — replicated here for bit-exact parity runs only.
     """
+    if ref_quirks and len(rows):
+        first = np.lexsort((cols, rows))[0]
+        keep = np.ones(len(rows), bool)
+        keep[first] = False
+        rows, cols, counts = rows[keep], cols[keep], counts[keep]
     n = frags.n_frags
     chrom_arr = np.asarray(frags.chrom)
     old_to_new = np.full(n, -1, np.int64)
@@ -165,6 +192,9 @@ def subsample_level(frags: FragmentTable, contig_n_frags: dict, factor: int,
             ep_.append(frags.end_pos[last])
             size_.append(frags.end_pos[last] - frags.start_pos[first])
             gc_.append(float(np.mean(frags.gc_content[chunk])))
+            # accu = span of the children's init_frag ids == number of
+            # post-filter level-0 fragments under this bin
+            # (subsample_data_set, pyramid_sparse.py:509-510)
             accu_.append(int(frags.init_frag_end[last]
                              - frags.init_frag_start[first] + 1))
             ifs_.append(int(frags.init_frag_start[first]))
@@ -313,7 +343,8 @@ def _store_level(h5_path, level, rows, cols, counts, n_frags):
 
 
 def build_and_filter(base_folder: str, size_pyramid: int, factor: int,
-                     min_bin_per_contig: int = 1) -> Pyramid:
+                     min_bin_per_contig: int = 1,
+                     ref_quirks: bool = False) -> Pyramid:
     """Full pyramid build with fragment filtering — the reference pipeline
     (build_and_filter, pyramid_sparse.py:25-136), idempotent on re-runs.
     """
@@ -337,7 +368,8 @@ def build_and_filter(base_folder: str, size_pyramid: int, factor: int,
         rows, cols, counts = native_io.raw_pairs_to_coo(pairs)
 
         frags, old_to_new, cinfo, coo = filter_fragments(
-            raw_frags, contig_names, rows, cols, counts)
+            raw_frags, contig_names, rows, cols, counts,
+            ref_quirks=ref_quirks)
         formats.write_fragments_list(lv0_frag_file, frags, with_sub=False)
         formats.write_contig_info(lv0_contig_file, *cinfo)
         formats.write_coo(lv0_coo_file, *coo)
@@ -357,7 +389,8 @@ def build_and_filter(base_folder: str, size_pyramid: int, factor: int,
             rows, cols, counts = native_io.read_coo(coo_file)
         else:
             frags, old_to_new, cinfo, (rows, cols, counts) = subsample_level(
-                frags, {}, factor, rows, cols, counts, min_bin_per_contig)
+                frags, {}, factor, rows, cols, counts, min_bin_per_contig,
+                ref_quirks=ref_quirks)
             formats.write_fragments_list(frag_file, frags, with_sub=True)
             formats.write_contig_info(contig_file, *cinfo)
             formats.write_coo(coo_file, rows, cols, counts)
