@@ -37,9 +37,6 @@ def main(n_bins=100_000, f_max=1024):
     runner = ScaleRunner(table, sobs, params)
     shuf = shuffle_genome(state, max(n_bins // 250, 8), seed=32)
 
-    from graal_tpu.core import delta as delta_mod
-    s_max = delta_mod.build_mini_table(table).s_max
-    obs_fn = sparse.make_sparse_obs_fn(sobs, f_max * s_max)
     cycle = runner.cycle_for(f_max, 4)
 
     anchor = runner.anchor_fn()

@@ -59,6 +59,10 @@ def _add_run_opts(p):
     p.add_argument("--platform", default="",
                    help="jax platform override (e.g. cpu)")
     p.add_argument("--config", default="", help="TOML config file")
+    p.add_argument("--profile", action="store_true",
+                   help="trace one EM cycle with jax.profiler into "
+                        "<out>/profile and print per-stage timing + "
+                        "achieved-bandwidth report")
 
 
 def _config_from_args(args):
@@ -122,9 +126,12 @@ def cmd_run(args):
         runner.save_matrix_snapshot("pre_assembly")
     assembly = None
     merged = {}
+    profile_dir = os.path.join(cfg.output_dir, "profile") \
+        if getattr(args, "profile", False) else None
     for stage in args.sampler.split(","):
         if stage == "em":
-            assembly = runner.run_em(resume=args.resume)
+            assembly = runner.run_em(resume=args.resume,
+                                     profile_dir=profile_dir)
         elif stage == "tempered":
             assembly = runner.run_tempered_em(n_chains=args.chains,
                                               t_max=args.t_max)

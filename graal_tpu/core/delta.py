@@ -26,11 +26,18 @@ Mechanically, the whole step runs on a **mini-state**: the <= f_max member
 fragments of the two contigs are gathered into a small GenomeState, all 13
 mutations are applied to it (they are closed under D by construction —
 every op only relabels the contigs of fA/fB), pairs are scored on the
-gathered sub-fragment grid, and the winning candidate is scattered back
-into the full state. Candidates whose member count exceeds the static
-``f_max`` are excluded from selection via the validity mask (never via
-sentinel scores); callers grow f_max between cycles as contigs coalesce,
-exactly like the reference's l_cont-proportional workload sizing.
+gathered sub-fragment grid, and the winning candidate is written back into
+the full state. Candidates whose member count exceeds the static ``f_max``
+are excluded from selection via the validity mask (never via sentinel
+scores); callers grow f_max between cycles as contigs coalesce, exactly
+like the reference's l_cont-proportional workload sizing.
+
+TPU notes: the log-pmf observation term is evaluated ONLY on observed
+pairs — dense (R, R) gathers when a dense matrix exists, CSR windows with
+searchsorted membership at chr1 scale — and every membership/write-back
+uses sorted-search gathers, never device scatters (TPU scatters
+serialise). The factorial term of the pmf cancels in the difference, so
+no log-factorials are evaluated at all.
 
 Repeat-free geometry only (active repeat toggling changes whole rows of the
 data grid; the repeat path keeps full scoring).
@@ -45,7 +52,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from graal_tpu.core.candidates import N_CANDIDATES, build_candidates
-from graal_tpu.core.model import RippeParams, expected_contacts, poisson_loglik
+from graal_tpu.core.model import RippeParams, expected_contacts
 from graal_tpu.core.state import GenomeState
 from graal_tpu.core.subfrags import SubFragTable
 
@@ -78,9 +85,9 @@ def build_mini_table(table: SubFragTable) -> MiniTable:
 def extract_rows(state: GenomeState, f_a, f_b, f_max: int):
     """Member fragments of contig(fA) u contig(fB), padded to ``f_max``.
 
-    Returns (rows (f_max,) int32 ascending, valid (f_max,), overflow ()).
-    The device-side equivalent of fill_sub_index_fA/_fB
-    (kernels3.cu:3225-3249).
+    Returns (rows (f_max,) int32, valid (f_max,), overflow ()) with the
+    valid member rows forming an ascending prefix. The device-side
+    equivalent of fill_sub_index_fA/_fB (kernels3.cu:3225-3249).
     """
     n = state.n_frags
     c_a = state.id_c[f_a]
@@ -113,19 +120,27 @@ def gather_mini(state: GenomeState, rows, valid) -> GenomeState:
 
 
 def scatter_mini(state: GenomeState, mini: GenomeState, rows, valid) -> GenomeState:
-    """Write the mini-state's *mutable* fields back into the full state."""
+    """Write the mini-state's *mutable* fields back into the full state.
+
+    Gather-formulated (sorted-search over the ascending valid prefix of
+    ``rows``) — no device scatter."""
     from graal_tpu.core.state import MUTABLE_FIELDS
 
     n = state.n_frags
-    tgt = jnp.where(valid, rows, n)   # padding rows dropped (out of range)
+    f_max = rows.shape[0]
+    vrows = jnp.where(valid, rows, n)      # ascending prefix, then n
+    all_idx = jnp.arange(n, dtype=jnp.int32)
+    pos = jnp.searchsorted(vrows, all_idx)
+    pos_c = jnp.clip(pos, 0, f_max - 1)
+    in_d = vrows[pos_c] == all_idx
     repl = {}
     for f in MUTABLE_FIELDS:
-        repl[f] = getattr(state, f).at[tgt].set(
-            getattr(mini, f), mode="drop")
+        repl[f] = jnp.where(in_d, getattr(mini, f)[pos_c],
+                            getattr(state, f))
     return state._replace(**repl)
 
 
-def make_delta_scorer(table: SubFragTable, obs, f_max: int, obs_fn=None,
+def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
                       candidate_batch: str = "auto"):
     """Build the per-neighbour delta scorer.
 
@@ -134,8 +149,9 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, obs_fn=None,
     with dll exactly log_likelihood(cand) - log_likelihood(base) whenever
     ``overflow`` is False.
 
-    ``obs_fn(sub_rows) -> (R, R) observed counts`` abstracts the observed
-    matrix; defaults to a dense gather. Pass a sparse gather at chr1 scale.
+    ``obs``: dense observed matrix (small problems) — the observation term
+    gathers an (R, R) block. ``sobs``: a core.sparse.SparseObs (chr1
+    scale) — the observation term is evaluated on CSR windows only.
 
     ``candidate_batch``: 'vmap' scores all 13 candidates at once (small
     pair grids), 'map' sequentially (bounded memory at large f_max);
@@ -145,12 +161,10 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, obs_fn=None,
     f_max = min(f_max, mt.n_frags)   # top_k cannot exceed the genome
     s_max = mt.s_max
     r_max = f_max * s_max
-    if obs_fn is None:
+    k_subs = table.n_subs
+    use_window = sobs is not None
+    if not use_window:
         obs_j = jnp.asarray(obs, jnp.float32)
-
-        def obs_fn(sub_rows):
-            sub_c = jnp.clip(sub_rows, 0, table.n_subs - 1)
-            return obs_j[sub_c[:, None], sub_c[None, :]]
 
     if candidate_batch == "auto":
         candidate_batch = "vmap" if r_max <= 1536 else "map"
@@ -173,27 +187,83 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, obs_fn=None,
         return (subs.reshape(-1), sub_valid.reshape(-1),
                 owner_slot.reshape(-1))
 
-    def pair_ll(mini: GenomeState, subs, sub_valid, owner_slot, ob,
-                params: RippeParams):
-        """(R, R) pairwise log-pmf under the mini genome's geometry."""
-        sub_c = jnp.clip(subs, 0, table.n_subs - 1)
+    def geometry(mini: GenomeState, subs_c, sub_valid, owner_slot):
         start_kb = mini.start_bp[owner_slot].astype(jnp.float32) / 1000.0
         ori = mini.ori[owner_slot]
-        mid = start_kb + jnp.where(ori == 1, sub_pre[sub_c], sub_suf[sub_c]) \
-            + sub_len[sub_c] * 0.5
-        idc = mini.id_c[owner_slot]
-        act = (mini.activ[owner_slot] == 1) & sub_valid
-        circ = mini.circ[owner_slot]
-        stot = mini.l_cont_bp[owner_slot].astype(jnp.float32) / 1000.0
-        accu = sub_accu[sub_c]
+        mid = start_kb + jnp.where(ori == 1, sub_pre[subs_c],
+                                   sub_suf[subs_c]) + sub_len[subs_c] * 0.5
+        return dict(
+            mid=mid,
+            idc=mini.id_c[owner_slot],
+            act=(mini.activ[owner_slot] == 1) & sub_valid,
+            circ=mini.circ[owner_slot],
+            stot=mini.l_cont_bp[owner_slot].astype(jnp.float32) / 1000.0,
+            accu=sub_accu[subs_c])
 
-        s = jnp.abs(mid[:, None] - mid[None, :])
-        same = idc[:, None] == idc[None, :]
-        na = accu[:, None] * accu[None, :] / nfpb
-        e = expected_contacts(s, same, circ[:, None], stot[:, None], na,
-                              params)
-        e = jnp.where(act[:, None] & act[None, :], e, 0.0)
-        return poisson_loglik(e, ob)
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (r_max, r_max), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (r_max, r_max), 1)
+    strict_upper = col_i > row_i
+
+    def e_sum(geo, params):
+        """sum_{u<v} E(u, v) over the mini pair grid (no logs)."""
+        s = jnp.abs(geo["mid"][:, None] - geo["mid"][None, :])
+        same = geo["idc"][:, None] == geo["idc"][None, :]
+        na = geo["accu"][:, None] * geo["accu"][None, :] / nfpb
+        e = expected_contacts(s, same, geo["circ"][:, None] == 1,
+                              geo["stot"][:, None], na, params)
+        mask = strict_upper & geo["act"][:, None] & geo["act"][None, :]
+        return jnp.sum(jnp.where(mask, e, 0.0))
+
+    def obs_logterm(geo, u_slot, v_slot, ob_vals, pair_ok, params):
+        """sum ob * log E over matched observed pairs (any layout)."""
+        s = jnp.abs(geo["mid"][u_slot] - geo["mid"][v_slot])
+        same = geo["idc"][u_slot] == geo["idc"][v_slot]
+        na = geo["accu"][u_slot] * geo["accu"][v_slot] / nfpb
+        e = expected_contacts(s, same, geo["circ"][u_slot] == 1,
+                              geo["stot"][u_slot], na, params)
+        ok = pair_ok & geo["act"][u_slot] & geo["act"][v_slot]
+        log_e = jnp.log(jnp.where(e > 0, e, 1.0))
+        return jnp.sum(jnp.where(ok, ob_vals * log_e, 0.0))
+
+    if use_window:
+        cap = sobs.row_cap
+        nnz = sobs.cols.shape[0]
+
+        def obs_pairs(subs, sub_valid):
+            """CSR windows of the D rows + membership slots (gather-only).
+
+            Returns (u_slot (R,cap), v_slot, vals, pair_ok) with every
+            observed pair (u in D, v in D) appearing exactly twice
+            (symmetric storage) -> callers weight by 0.5.
+            """
+            rc = jnp.clip(subs, 0, k_subs - 1)
+            start = sobs.row_start[rc]
+            end = sobs.row_start[rc + 1]
+            win = start[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+            win_valid = (win < end[:, None]) & sub_valid[:, None]
+            win = jnp.clip(win, 0, nnz - 1)
+            cols = sobs.cols[win]
+            vals = sobs.vals[win]
+            # membership: sorted-search over the D sub rows
+            key = jnp.where(sub_valid, subs,
+                            k_subs + 1 + jnp.arange(r_max, dtype=jnp.int32))
+            order = jnp.argsort(key)
+            skey = key[order]
+            pos = jnp.clip(jnp.searchsorted(skey, cols), 0, r_max - 1)
+            found = (skey[pos] == cols) & win_valid
+            v_slot = order[pos]
+            u_slot = jnp.broadcast_to(
+                jnp.arange(r_max, dtype=jnp.int32)[:, None], cols.shape)
+            return u_slot, v_slot, vals, found
+    else:
+        def obs_pairs(subs, sub_valid):
+            """Dense path: all (R, R) pairs, observed counts gathered."""
+            sub_c = jnp.clip(subs, 0, k_subs - 1)
+            ob = obs_j[sub_c[:, None], sub_c[None, :]]
+            pair_ok = strict_upper & sub_valid[:, None] & sub_valid[None, :]
+            return row_i, col_i, ob, pair_ok
+
+    obs_weight = 0.5 if use_window else 1.0
 
     def dscore(state: GenomeState, f_a, f_b, params: RippeParams, max_id):
         rows, valid, overflow = extract_rows(state, f_a, f_b, f_max)
@@ -206,16 +276,19 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, obs_fn=None,
         cands = build_candidates(mini, lf_a, lf_b, max_id=max_id)
 
         subs, sub_valid, owner_slot = sub_rows_of(rows, valid)
-        ob = obs_fn(jnp.where(sub_valid, subs, table.n_subs))
-        upper = jnp.triu(jnp.ones((r_max, r_max), jnp.bool_), k=1)
-        pair_mask = upper & sub_valid[:, None] & sub_valid[None, :]
+        subs_c = jnp.clip(subs, 0, k_subs - 1)
+        u_slot, v_slot, ob_vals, pair_ok = obs_pairs(subs, sub_valid)
 
-        g_base = pair_ll(mini, subs, sub_valid, owner_slot, ob, params)
-        base_sum = jnp.sum(jnp.where(pair_mask, g_base, 0.0))
+        geo_base = geometry(mini, subs_c, sub_valid, owner_slot)
+        base_score = obs_weight * obs_logterm(
+            geo_base, u_slot, v_slot, ob_vals, pair_ok, params) \
+            - e_sum(geo_base, params)
 
         def one(cand):
-            g = pair_ll(cand, subs, sub_valid, owner_slot, ob, params)
-            return jnp.sum(jnp.where(pair_mask, g, 0.0)) - base_sum
+            geo = geometry(cand, subs_c, sub_valid, owner_slot)
+            w = obs_weight * obs_logterm(geo, u_slot, v_slot, ob_vals,
+                                         pair_ok, params)
+            return w - e_sum(geo, params) - base_score
 
         if candidate_batch == "vmap":
             dll = jax.vmap(one)(cands)
@@ -227,7 +300,7 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, obs_fn=None,
 
 
 def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
-                      obs_fn=None):
+                      sobs=None):
     """EM step with delta scoring (shift-equivalent to absolute scores: the
     selection filter is shift-invariant). Returns
     step(state, key, params, l_t, f_a, f_t) ->
@@ -240,7 +313,7 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
     """
     from graal_tpu.core.mcmc import sample_neighbours, select_score_slot
 
-    dscore = make_delta_scorer(table, obs, f_max, obs_fn=obs_fn)
+    dscore = make_delta_scorer(table, obs, f_max, sobs=sobs)
 
     def step(state: GenomeState, key, params: RippeParams, l_t, f_a, f_t):
         k_nb, k_sel = jax.random.split(key)
@@ -280,7 +353,7 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
 
 
 def make_delta_em_cycle(table: SubFragTable, obs, nb, delta: int, f_max: int,
-                        obs_fn=None, anchor_fn=None):
+                        sobs=None, anchor_fn=None):
     """Full delta-scored EM cycle as a lax.scan, with a final full
     re-anchoring of the likelihood.
 
@@ -290,7 +363,7 @@ def make_delta_em_cycle(table: SubFragTable, obs, nb, delta: int, f_max: int,
     """
     from graal_tpu.core.likelihood import log_likelihood
 
-    step = make_delta_em_step(table, obs, nb, delta, f_max, obs_fn=obs_fn)
+    step = make_delta_em_step(table, obs, nb, delta, f_max, sobs=sobs)
     if anchor_fn is None:
         obs_j = jnp.asarray(obs, jnp.float32)
 

@@ -175,10 +175,10 @@ def make_sharded_em_step(mesh: Mesh, table: SubFragTable, obs,
 
 
 def make_sharded_delta_cycle(mesh: Mesh, table: SubFragTable, nb,
-                             delta: int, f_max: int, obs=None, obs_fn=None):
+                             delta: int, f_max: int, obs=None, sobs=None):
     """Chains-sharded chr1-scale cycle: every chain runs the mini-state
     delta EM scan on its own device(s); observed contacts are read through
-    ``obs_fn`` (sparse CSR windows, replicated — the sparse triplets are
+    ``sobs`` (sparse CSR windows, replicated — the sparse triplets are
     O(nnz), small next to a dense grid).
 
     This is the scale-out shape for the chr1-class configs: the delta
@@ -190,7 +190,7 @@ def make_sharded_delta_cycle(mesh: Mesh, table: SubFragTable, nb,
     from graal_tpu.core import delta as delta_mod
 
     step = delta_mod.make_delta_em_step(table, obs, nb, delta, f_max,
-                                        obs_fn=obs_fn)
+                                        sobs=sobs)
 
     def one_chain(state, key, params, order, l_t, f_t):
         def body(carry, f_a):

@@ -10,6 +10,7 @@ main_gl.py:321-342), and exports the assembled genome.
 
 from __future__ import annotations
 
+import contextlib
 import dataclasses
 import json
 import os
@@ -70,6 +71,11 @@ def extend_with_repeats(soa: dict, duplications):
     for bin_id, _ in duplications:
         soa["rep"][bin_id] = 1
     return {k: np.asarray(v) for k, v in soa.items()}
+
+
+@contextlib.contextmanager
+def _null_ctx():
+    yield
 
 
 @dataclasses.dataclass
@@ -230,9 +236,14 @@ class Runner:
 
     # ---- run --------------------------------------------------------------
     def run_em(self, n_cycles=None, progress=True, resume=False,
-               checkpoint_every=1) -> Assembly:
+               checkpoint_every=1, profile_dir=None) -> Assembly:
+        """``profile_dir``: when set, the second (post-compile) cycle runs
+        under jax.profiler.trace into that directory, per-stage wall times
+        are collected, and an achieved-HBM-bandwidth report is printed
+        (the reference's CUDA-event timing discipline, cuda_lib_gl.py:544-593)."""
         import jax
         import jax.numpy as jnp
+        from graal_tpu.utils import profiling
         from graal_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
         cfg = self.cfg
@@ -261,28 +272,49 @@ class Runner:
                                      "fact", "slope", "d_max", "v_inter",
                                      "success", "dist_init_genome")}
         n = state.n_frags
+        timer = profiling.StageTimer()
+        cycle_times = []
         t0 = time.time()
         for j in range(start_cycle, n_cycles):
             key, k_perm, k_cycle = jax.random.split(key, 3)
             order = jax.random.permutation(k_perm, n)
             f_t = temperature_schedule(cfg.sampler, j, n_cycles)
-            state, params, l_t, m = cycle(state, k_cycle, params, order, l_t,
-                                          jnp.float32(f_t))
-            for k in ("likelihood", "n_contigs", "mean_len", "op_sampled",
-                      "id_f_sampled", "id_f_a", "fact", "slope", "d_max",
-                      "v_inter", "success"):
-                collected[k].extend(np.asarray(getattr(m, k)).tolist())
-            dist = dist_inter_genome(state, self.init_prev, self.init_next,
-                                     self.init_ori, self.orientable,
-                                     self.dist_skip)
-            collected["dist_init_genome"].extend([dist] * n)
+            tc = time.time()
+            traced = profile_dir is not None and j == start_cycle + 1
+            with (profiling.trace(profile_dir) if traced
+                  else _null_ctx()):
+                with timer.stage("em_cycle"):
+                    state, params, l_t, m = cycle(state, k_cycle, params,
+                                                  order, l_t,
+                                                  jnp.float32(f_t))
+                    l_t = jax.block_until_ready(l_t)
+            cycle_times.append(time.time() - tc)
+            with timer.stage("metrics_host"):
+                for k in ("likelihood", "n_contigs", "mean_len", "op_sampled",
+                          "id_f_sampled", "id_f_a", "fact", "slope", "d_max",
+                          "v_inter", "success"):
+                    collected[k].extend(np.asarray(getattr(m, k)).tolist())
+                dist = dist_inter_genome(state, self.init_prev,
+                                         self.init_next, self.init_ori,
+                                         self.orientable, self.dist_skip)
+                collected["dist_init_genome"].extend([dist] * n)
             if progress:
                 print(f"cycle {j}: loglik={float(l_t):.1f} "
                       f"n_contigs={int(np.asarray(m.n_contigs)[-1])} "
                       f"dist={dist:.3f} T={f_t:.2f} "
                       f"({time.time() - t0:.1f}s)", flush=True)
             if checkpoint_every and (j + 1) % checkpoint_every == 0:
-                save_checkpoint(ckpt_path, state, params, j + 1, key)
+                with timer.stage("checkpoint"):
+                    save_checkpoint(ckpt_path, state, params, j + 1, key)
+        if profile_dir is not None and cycle_times:
+            timer.print_report("EM profiling")
+            steady = cycle_times[1:] or cycle_times
+            bw = profiling.bandwidth_report(
+                self.table.n_subs,
+                13 * (cfg.sampler.n_neighbours * self.nb.max_copies
+                      + self.nb.max_copies),
+                n, float(np.mean(steady)))
+            print("bandwidth:", json.dumps(bw), flush=True)
         check_invariants(state)
         self.state = state
         self.params = params

@@ -93,11 +93,9 @@ class ScaleRunner:
 
     def cycle_for(self, f_max: int, delta: int):
         if (f_max, delta) not in self._cycles:
-            s_max = delta_mod.build_mini_table(self.table).s_max
-            obs_fn = sparse.make_sparse_obs_fn(self.sobs, f_max * s_max)
             self._cycles[(f_max, delta)] = delta_mod.make_delta_em_cycle(
                 self.table, None, self.nb, delta=delta, f_max=f_max,
-                obs_fn=obs_fn, anchor_fn=sparse.make_sparse_loglik(
+                sobs=self.sobs, anchor_fn=sparse.make_sparse_loglik(
                     self.table, self.sobs, self.w))
         return self._cycles[(f_max, delta)]
 

@@ -146,3 +146,45 @@ def test_likelihood_prefers_true_adjacency(rng):
                          l_cont_bp=state.len_bp)
     ll_scr = float(likelihood.log_likelihood(scr, table, obs_j, params))
     assert ll_true > ll_scr
+
+
+def test_f32_drift_at_tricho_scale():
+    """Quantify (not just argue) the f32 accumulation error at K=3000,
+    |L| ~ 1e7 — round-1 review item: the f32 row-sum scheme's drift vs an
+    exact f64 evaluation must stay well inside the ~1-unit score
+    resolution that candidate selection operates on (THRESH_OVERFLOW=30)."""
+    import math
+
+    from graal_tpu.utils.synthetic import (_expected_matrix_host,
+                                           default_params, make_genome,
+                                           simulate_contacts)
+
+    state, table = make_genome(n_bins=1000, n_contigs=7, subs_per_bin=3,
+                               seed=13)
+    params = default_params(fact=4000.0)
+    obs = simulate_contacts(state, table, params, seed=13)
+
+    # vectorised f64 oracle (reference pmf branch structure)
+    e = _expected_matrix_host(state, table, params)
+    k = e.shape[0]
+    iu, ju = np.triu_indices(k, 1)
+    ex = e[iu, ju].astype(np.float64)
+    ob = np.asarray(obs, np.float64)[iu, ju]
+    log_ex = np.log(np.where(ex > 0, ex, 1.0))
+    big = ob >= 15
+    logfact = np.zeros_like(ob)
+    logfact[big] = (ob[big] * np.log(ob[big]) - ob[big]
+                    + np.log(np.sqrt(ob[big] * 2 * np.pi)))
+    mid = (ob >= 10) & ~big
+    nn = np.floor(ob[mid])
+    logfact[mid] = nn * np.log(nn) - nn + 0.5 * np.log(2 * np.pi * nn)
+    small = (ob > 0) & (ob < 10)
+    logfact[small] = [math.lgamma(math.floor(x) + 1) for x in ob[small]]
+    terms = np.where(ob > 0, ob * log_ex - ex - logfact, -ex)
+    want = float(np.sum(np.where(ex > 0, terms, 0.0)))
+
+    got = float(likelihood.log_likelihood(state, table, obs, params))
+    drift = abs(got - want)
+    # measured in round 2: ~0.5 at |L| ~ 6e6 (3.4e3 subs); bound with margin
+    assert drift < 5.0, f"f32 drift {drift:.3f} vs f64 {want:.1f}"
+    assert abs(want) > 1e6   # the regime the bound is about

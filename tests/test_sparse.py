@@ -99,16 +99,14 @@ def test_sparse_obs_fn_matches_dense_gather(problem):
 
 
 def test_delta_with_sparse_obs_matches_dense(problem):
-    """The delta scorer fed by the sparse obs gather must equal the dense
+    """The delta scorer fed by the sparse CSR windows must equal the dense
     delta scorer (and hence the full-likelihood difference)."""
     state, table, params, obs = problem
     sobs = sparse.sparse_from_dense(obs)
     f_max = 16
-    s_max = delta.build_mini_table(table).s_max
-    obs_fn = sparse.make_sparse_obs_fn(sobs, f_max * s_max)
     d_dense = jax.jit(delta.make_delta_scorer(table, obs, f_max))
-    d_sparse = jax.jit(delta.make_delta_scorer(table, obs, f_max,
-                                               obs_fn=obs_fn))
+    d_sparse = jax.jit(delta.make_delta_scorer(table, None, f_max,
+                                               sobs=sobs))
     max_id = jnp.max(state.id_c)
     rng = np.random.default_rng(4)
     n = state.n_frags
