@@ -171,8 +171,12 @@ def make_pallas_scorer(table: SubFragTable, obs, interpret: bool = False):
     The returned values match core.likelihood.log_likelihood (including the
     observation constant). ``interpret=True`` runs the kernel in the Pallas
     interpreter (CPU testing).
+
+    Repeat-carrying tables dispatch to the copy-summing kernel
+    (:func:`make_repeat_pallas_scorer`).
     """
-    assert not table.has_repeats, "pallas scorer requires repeat-free tables"
+    if table.has_repeats:
+        return make_repeat_pallas_scorer(table, obs, interpret=interpret)
     k_real = table.n_subs
     k_pad = _round_up(k_real, TB)
     obs_np = np.zeros((k_pad, k_pad), np.float32)
@@ -274,5 +278,221 @@ def make_pallas_scorer(table: SubFragTable, obs, interpret: bool = False):
           mid, mid, idc.astype(jnp.int32), idc.astype(jnp.int32), circ, stot,
           la, la, obs_dev, pvec)
         return out + jnp.float32(const)
+
+    return score
+
+
+# ---------------------------------------------------------------------------
+# Repeat-carrying geometry: copy-summing kernel on the data grid
+# ---------------------------------------------------------------------------
+
+def _log_factorial_vec(ob):
+    """log(ob!) with the reference's branch structure, vector-op only
+    (no lgamma inside Pallas): exact log-sum for floor(ob) < 10 via
+    log(n!) = sum_{k<=n} log k; Stirling above (kernels3.cu:80-93,
+    :169-210 with the ob >= 15 expansion)."""
+    n = jnp.floor(ob)
+    exact = jnp.zeros_like(ob)
+    for k in range(2, 10):
+        exact = exact + jnp.where(n >= k, np.float32(np.log(k)), 0.0)
+    stirling = n * jnp.log(jnp.maximum(n, 1.0)) - n \
+        + 0.5 * jnp.log(2.0 * np.pi * jnp.maximum(n, 1.0))
+    big = ob * jnp.log(jnp.maximum(ob, 1.0)) - ob \
+        + jnp.log(jnp.sqrt(jnp.maximum(ob, 1.0) * 2.0 * np.pi))
+    out = jnp.where(ob >= 15.0, big, jnp.where(n >= 10, stirling, exact))
+    return jnp.where(ob > 0.0, out, 0.0)
+
+
+def _repeat_kernel(ti_ref, tj_ref, mid_r, mid_c, idc_r, idc_c, circ_r,
+                   stot_r, acc_r, acc_c, act_r, act_c, obs_tile, p_ref,
+                   out_ref, *, k_real, mc):
+    """One (TB x TB) tile of the DATA grid: expected counts are summed over
+    active copy pairs before the Poisson log-pmf (dispatcher/collector
+    loop, kernels3.cu:2895-2929). Copy-slot arrays carry a leading ``mc``
+    axis. The pmf (including log ob!) is computed in full — no
+    observation-constant folding, since E == 0 cells must contribute
+    exactly zero (kernels3.cu:196)."""
+    t = pl.program_id(0)
+    c = pl.program_id(1)
+    i = ti_ref[t]
+    j = tj_ref[t]
+
+    @pl.when(t == 0)
+    def _():
+        out_ref[c] = 0.0
+
+    slope = p_ref[1]
+    d = p_ref[2]
+    d_max = p_ref[3]
+    lm_over_kuhn = p_ref[4]
+    v_inter = p_ref[6]
+    log_norm_circ = p_ref[7]
+    log_k3fact = p_ref[8]
+    log_c1fact = p_ref[0]
+    nfpb = p_ref[9]
+
+    e_total = jnp.zeros((TB, TB), jnp.float32)
+    for a in range(mc):
+        mr = mid_r[a, c, :]
+        idcr = idc_r[a, c, :]
+        circr = circ_r[a, c, :][:, None] == 1.0
+        stotr = stot_r[a, c, :][:, None]
+        accr = acc_r[a, c, :]
+        actr = act_r[a, c, :]
+        for b2 in range(mc):
+            mcol = mid_c[b2, c, :]
+            s = jnp.abs(mr[:, None] - mcol[None, :])
+            same = idcr[:, None] == idc_c[b2, c, :][None, :]
+            safe_s = jnp.maximum(s, 1e-9)
+            n_lin = safe_s * lm_over_kuhn
+            log_lin = log_c1fact + slope * jnp.log(safe_s) \
+                + (d - 2.0) / (n_lin * n_lin + d)
+            n_circ = lm_over_kuhn * safe_s \
+                * jnp.maximum(stotr - s, 1e-9) / jnp.maximum(stotr, 1e-9)
+            log_val_circ = log_k3fact + slope * jnp.log(n_circ) \
+                + (d - 2.0) / (n_circ * n_circ + d)
+            in_range = (s > 0.0) & (s < d_max)
+            log_norm_lin = jnp.where(in_range,
+                                     jnp.maximum(log_lin, p_ref[5]), p_ref[5])
+            log_circ = log_val_circ + log_norm_lin - log_norm_circ
+            log_cis = jnp.where(circr, log_circ, log_lin)
+            cis = jnp.where(in_range, jnp.exp(log_cis), 0.0)
+            cis = jnp.maximum(cis, v_inter)
+            e0 = jnp.where(same, cis, v_inter)
+            na = accr[:, None] * acc_c[b2, c, :][None, :] / nfpb
+            act = (actr[:, None] > 0.0) & (act_c[b2, c, :][None, :] > 0.0)
+            e_total = e_total + jnp.where(act, e0 * na, 0.0)
+
+    ob = obs_tile[:, :]
+    logfact = _log_factorial_vec(ob)
+    log_e = jnp.log(jnp.where(e_total > 0.0, e_total, 1.0))
+    pmf = jnp.where(ob > 0.0, ob * log_e - e_total - logfact, -e_total)
+    pmf = jnp.where(e_total > 0.0, pmf, 0.0)
+
+    row_g = i * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 0)
+    col_g = j * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 1)
+    mask = (col_g > row_g) & (row_g < k_real) & (col_g < k_real)
+    out_ref[c] += jnp.sum(jnp.where(mask, pmf, 0.0))
+
+
+def make_repeat_pallas_scorer(table: SubFragTable, obs,
+                              interpret: bool = False):
+    """Copy-summing scorer for repeat-carrying tables: score(states_batch,
+    params) -> (B,) matching core.likelihood.log_likelihood on the data
+    grid (kernels3.cu:2895-2929 dispatcher semantics)."""
+    s_real = table.n_data_sub
+    s_pad = _round_up(s_real, TB)
+    obs_np = np.zeros((s_pad, s_pad), np.float32)
+    obs_np[:s_real, :s_real] = np.asarray(obs, np.float32)
+    obs_dev = jnp.asarray(obs_np)
+
+    # host: copy slots per data sub (dispatcher/collector_id flattening)
+    data_id = np.asarray(table.data_id)
+    order = np.argsort(data_id, kind="stable")
+    counts = np.bincount(data_id, minlength=s_real)
+    mc = int(counts.max()) if len(counts) else 1
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    copy_slots = np.full((s_real, mc), -1, np.int64)
+    pos_in = np.arange(len(order)) - starts[data_id[order]]
+    copy_slots[data_id[order], pos_in] = order
+
+    owner = table.owner
+    prefix = table.prefix_kb
+    suffix = table.suffix_kb
+    len_half = table.len_kb * 0.5
+    accu = table.accu
+    slots_dev = jnp.asarray(np.where(copy_slots < 0, 0, copy_slots),
+                            jnp.int32)
+    slots_valid = jnp.asarray(copy_slots >= 0)
+
+    n_rb = s_pad // TB
+    tri = [(i, j) for i in range(n_rb) for j in range(i, n_rb)]
+    ti_np = np.asarray([i for i, _ in tri], np.int32)
+    tj_np = np.asarray([j for _, j in tri], np.int32)
+    n_tri = len(tri)
+
+    def params_vector(p: RippeParams):
+        log_c1fact = jnp.log(p.c1 * p.fact)
+        log_k3fact = jnp.log(jnp.power(p.kuhn, -3.0) * p.fact)
+        nmax = p.lm / p.kuhn
+        log_norm_circ = (log_k3fact + p.slope * jnp.log(nmax)
+                         + (p.d - 2.0) / (nmax * nmax + p.d))
+        return jnp.stack([
+            log_c1fact, p.slope, p.d, p.d_max, p.lm / p.kuhn,
+            jnp.log(p.v_inter), p.v_inter, log_norm_circ, log_k3fact,
+            jnp.float32(table.n_frags_per_bins)]).astype(jnp.float32)
+
+    def _pad(x, fill=0.0):
+        return jnp.pad(x, ((0, 0), (0, s_pad - s_real)),
+                       constant_values=fill)
+
+    def copy_vectors(state: GenomeState):
+        """(mc, S_pad) per-copy-slot geometry of one genome."""
+        rows = slots_dev                             # (S, mc) copy rows
+        own = owner[rows]                            # (S, mc)
+        start_kb = state.start_bp[own].astype(jnp.float32) / 1000.0
+        ori = state.ori[own]
+        mid = start_kb + jnp.where(ori == 1, prefix[rows], suffix[rows]) \
+            + len_half[rows]
+        idc = state.id_c[own]
+        act = slots_valid & (state.activ[own] == 1)
+        circ = state.circ[own].astype(jnp.float32)
+        stot = state.l_cont_bp[own].astype(jnp.float32) / 1000.0
+        acc = accu[rows]
+        # fake distinct contigs for invalid slots (never same-contig)
+        pad_idc = -(jnp.arange(s_real, dtype=jnp.int32)[:, None]
+                    + jnp.arange(mc, dtype=jnp.int32)[None, :] * s_real + 2)
+        idc = jnp.where(slots_valid, idc, pad_idc)
+        to_pad = lambda v, fill=0.0: _pad(v.T.astype(jnp.float32), fill)
+        return (to_pad(mid), _pad(idc.T.astype(jnp.int32), -1).astype(jnp.int32),
+                to_pad(circ), to_pad(stot, 1.0), to_pad(acc),
+                to_pad(act.astype(jnp.float32)))
+
+    kernel = functools.partial(_repeat_kernel, k_real=s_real, mc=mc)
+
+    def row_map(t, c, ti, tj):
+        return (0, 0, ti[t])
+
+    def col_map(t, c, ti, tj):
+        return (0, 0, tj[t])
+
+    def obs_map(t, c, ti, tj):
+        return (ti[t], tj[t])
+
+    def grid_sp(b):
+        vec = lambda m: pl.BlockSpec((mc, b, TB), m,
+                                     memory_space=pltpu.VMEM)
+        return pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tri, b),
+            in_specs=[
+                vec(row_map), vec(col_map),      # mid
+                vec(row_map), vec(col_map),      # idc
+                vec(row_map),                    # circ rows
+                vec(row_map),                    # stot rows
+                vec(row_map), vec(col_map),      # accu
+                vec(row_map), vec(col_map),      # act
+                pl.BlockSpec((TB, TB), obs_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        )
+
+    def score(states_batch: GenomeState, params: RippeParams):
+        mid, idc, circ, stot, acc, act = jax.vmap(copy_vectors)(states_batch)
+        # (B, mc, S_pad) -> (mc, B, S_pad)
+        tr = lambda x: jnp.swapaxes(x, 0, 1)
+        mid, idc, circ, stot, acc, act = map(
+            tr, (mid, idc, circ, stot, acc, act))
+        b = mid.shape[1]
+        pvec = params_vector(params)
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_sp(b),
+            out_shape=jax.ShapeDtypeStruct((b,), jnp.float32),
+            interpret=interpret,
+        )(jnp.asarray(ti_np), jnp.asarray(tj_np),
+          mid, mid, idc, idc, circ, stot, acc, acc, act, act, obs_dev, pvec)
+        return out
 
     return score

@@ -31,7 +31,9 @@ from jax import shard_map
 
 from graal_tpu.core.candidates import N_CANDIDATES, build_candidates
 from graal_tpu.core.mcmc import NeighbourTable, sample_neighbours, select_score_slot
-from graal_tpu.core.model import RippeParams, poisson_loglik, rippe_contacts, rippe_contacts_circ
+from graal_tpu.core.model import (RippeParams, expected_contacts,
+                                  poisson_loglik, rippe_contacts,
+                                  rippe_contacts_circ)
 from graal_tpu.core.state import GenomeState
 from graal_tpu.core.subfrags import SubFragTable
 
@@ -55,15 +57,73 @@ def _pad_rows(obs: np.ndarray, n_rows: int):
     return obs, s + pad
 
 
-def _block_log_likelihood(state: GenomeState, table: SubFragTable,
-                          obs_block, params: RippeParams, row_start):
-    """Log-likelihood restricted to data rows [row_start, row_start+B),
-    triangular mask applied in global coordinates.
+def _copy_tables(table: SubFragTable):
+    """Host-side (S, mc) copy-slot index/valid tables (dispatcher spans)."""
+    data_id = np.asarray(table.data_id)
+    s = table.n_data_sub
+    order = np.argsort(data_id, kind="stable")
+    counts = np.bincount(data_id, minlength=s)
+    mc = int(counts.max()) if len(counts) else 1
+    starts = np.concatenate([[0], np.cumsum(counts)[:-1]])
+    slots = np.full((s, mc), -1, np.int64)
+    pos = np.arange(len(order)) - starts[data_id[order]]
+    slots[data_id[order], pos] = order
+    return (jnp.asarray(np.where(slots < 0, 0, slots), jnp.int32),
+            jnp.asarray(slots >= 0), mc)
 
-    Requires a repeat-free table (copy grid == data grid); the general
-    scatter path stays on the single-chip implementation.
-    """
-    assert not table.has_repeats, "sharded likelihood requires no repeats"
+
+def _block_log_likelihood_repeats(state: GenomeState, table: SubFragTable,
+                                  obs_block, params: RippeParams, row_start,
+                                  copy_tabs):
+    """Repeat-aware row block on the DATA grid: expected counts summed over
+    active copy pairs before the pmf (kernels3.cu:2895-2929)."""
+    slots, valid, mc = copy_tabs
+    b = obs_block.shape[0]
+    s_dim = table.n_data_sub
+    own = table.owner
+
+    start_kb = state.start_bp[own].astype(jnp.float32) / 1000.0
+    ori = state.ori[own]
+    offset = jnp.where(ori == 1, table.prefix_kb, table.suffix_kb)
+    mid = start_kb + offset + table.len_kb * 0.5
+    idc = state.id_c[own]
+    act = state.activ[own] == 1
+    circ = state.circ[own]
+    stot = state.l_cont_bp[own].astype(jnp.float32) / 1000.0
+    accu = table.accu
+
+    rows = jnp.clip(row_start + jnp.arange(b), 0, s_dim - 1)
+    e_total = jnp.zeros((b, s_dim), jnp.float32)
+    for a in range(mc):
+        u = slots[rows, a]
+        uv = valid[rows, a]
+        for b2 in range(mc):
+            v = slots[:, b2]
+            vv = valid[:, b2]
+            s = jnp.abs(mid[u][:, None] - mid[v][None, :])
+            same = idc[u][:, None] == idc[v][None, :]
+            na = accu[u][:, None] * accu[v][None, :] / table.n_frags_per_bins
+            e = expected_contacts(s, same, circ[u][:, None] == 1,
+                                  stot[u][:, None], na, params)
+            ok = (uv & act[u])[:, None] & (vv & act[v])[None, :]
+            e_total = e_total + jnp.where(ok, e, 0.0)
+
+    ll = poisson_loglik(e_total, obs_block)
+    col = jnp.arange(s_dim)[None, :]
+    grow = (row_start + jnp.arange(b))[:, None]
+    mask = (col > grow) & (grow < s_dim)
+    return jnp.sum(jnp.where(mask, ll, 0.0))
+
+
+def _block_log_likelihood(state: GenomeState, table: SubFragTable,
+                          obs_block, params: RippeParams, row_start,
+                          copy_tabs=None):
+    """Log-likelihood restricted to data rows [row_start, row_start+B),
+    triangular mask applied in global coordinates. Repeat-carrying tables
+    use the copy-summing data-grid formulation."""
+    if table.has_repeats:
+        return _block_log_likelihood_repeats(state, table, obs_block,
+                                             params, row_start, copy_tabs)
     b = obs_block.shape[0]
     k = table.n_subs
 
@@ -103,6 +163,7 @@ def sharded_log_likelihood(mesh: Mesh, table: SubFragTable, obs):
     obs_p, total = _pad_rows(np.asarray(obs, np.float32), n_rows)
     block = total // n_rows
     obs_sharded = jax.device_put(obs_p, NamedSharding(mesh, P("rows", None)))
+    copy_tabs = _copy_tables(table) if table.has_repeats else None
 
     @functools.partial(
         shard_map, mesh=mesh,
@@ -110,7 +171,8 @@ def sharded_log_likelihood(mesh: Mesh, table: SubFragTable, obs):
         out_specs=P(), check_vma=False)
     def ll(state, obs_block, params):
         row_start = jax.lax.axis_index("rows") * block
-        partial = _block_log_likelihood(state, table, obs_block, params, row_start)
+        partial = _block_log_likelihood(state, table, obs_block, params,
+                                        row_start, copy_tabs)
         return jax.lax.psum(partial, "rows")
 
     @jax.jit
@@ -138,6 +200,7 @@ def make_sharded_em_step(mesh: Mesh, table: SubFragTable, obs,
     obs_p, total = _pad_rows(obs_np, n_rows)
     block = total // n_rows
     obs_sharded = jax.device_put(obs_p, NamedSharding(mesh, P("rows", None)))
+    copy_tabs = _copy_tables(table) if table.has_repeats else None
 
     def chain_step(state: GenomeState, key, params, obs_block, f_a, f_t):
         k_nb, k_sel = jax.random.split(key)
@@ -146,7 +209,8 @@ def make_sharded_em_step(mesh: Mesh, table: SubFragTable, obs,
         row_start = jax.lax.axis_index("rows") * block
 
         def score(c):
-            partial = _block_log_likelihood(c, table, obs_block, params, row_start)
+            partial = _block_log_likelihood(c, table, obs_block, params,
+                                            row_start, copy_tabs)
             return jax.lax.psum(partial, "rows")
         ll = jax.vmap(jax.vmap(score))(cands)
 

@@ -220,7 +220,10 @@ class Runner:
         sample_param = self.cfg.sampler.sample_param
         if isinstance(self.params, HiCParams):
             return make_hic_scorer(self.table, self.obs), False
-        if not self.table.has_repeats and jax.default_backend() != "cpu":
+        if jax.default_backend() != "cpu":
+            # Pallas fast path; repeat tables dispatch to the copy-summing
+            # kernel (round-1 review item 4: --allow-repeats runs no longer
+            # fall back to the slow jnp scatter path)
             from graal_tpu.ops.likelihood_pallas import make_pallas_scorer
             return make_pallas_scorer(self.table, self.obs), sample_param
         return None, sample_param

@@ -90,3 +90,72 @@ def test_obs_constant_matches_reference_branches():
         want += float(poisson_loglik(jnp.float32(1.0),
                                      jnp.float32(obs[s, t]))) + 1.0
     np.testing.assert_allclose(const, want, rtol=1e-4)
+
+
+def _repeat_problem(seed=9, n_bins=30, dup_bins=(3, 11), n_dup=1):
+    """Genome with duplicated repeat copies (modify_vect_frags semantics,
+    simulation_loader.py:182-256)."""
+    from graal_tpu.pipeline import extend_with_repeats
+    from graal_tpu.core.subfrags import build_sub_frag_table
+    from graal_tpu.utils.synthetic import default_params
+
+    state, table = make_genome(n_bins=n_bins, n_contigs=3, subs_per_bin=2,
+                               seed=seed)
+    soa = {f: np.asarray(getattr(state, f)) for f in state._fields}
+    soa["n_accu"] = np.ones(n_bins, np.int64)
+    soa = extend_with_repeats(soa, [(b, n_dup) for b in dup_bins])
+    state = GenomeState.from_soa(soa)
+
+    # rebuild the table with the copy-expanded id_d
+    sub_ids = np.zeros((n_bins, 4), np.int64)
+    sub_len = np.zeros((n_bins, 3))
+    sub_acc = np.zeros((n_bins, 3))
+    k = 0
+    lens = np.asarray(table.len_kb)
+    for b in range(n_bins):
+        sub_ids[b, 3] = 2
+        for s in range(2):
+            sub_ids[b, s] = k
+            sub_len[b, s] = lens[k]
+            sub_acc[b, s] = 1.0
+            k += 1
+    table = build_sub_frag_table(sub_ids, sub_len, sub_acc, soa["id_d"])
+    assert table.has_repeats
+    params = default_params(fact=5000.0)
+    obs = simulate_contacts(state, table, params, seed=seed)
+    return state, table, params, obs
+
+
+def test_repeat_kernel_matches_jnp():
+    """Copy-summing kernel == the jnp scatter path on a repeat problem,
+    including deactivated copies and a moved copy."""
+    from graal_tpu.ops.likelihood_pallas import make_repeat_pallas_scorer
+
+    state, table, params, obs = _repeat_problem()
+    scorer = make_repeat_pallas_scorer(table, obs, interpret=True)
+
+    # variants: as-is; one copy deactivated; copies relocated (exploded)
+    n = state.n_frags
+    deact = state._replace(
+        activ=jnp.asarray(np.where(np.arange(n) == n - 1, 0,
+                                   np.asarray(state.activ)), jnp.int32))
+    moved = mcmc.explode_genome(state)
+    batch = GenomeState(*[jnp.stack([a, b, c]) for a, b, c in
+                          zip(state, deact, moved)])
+    got = np.asarray(scorer(batch, params))
+    want = np.asarray([
+        float(likelihood.log_likelihood(s, table, obs, params))
+        for s in (state, deact, moved)])
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=0.5)
+
+
+def test_repeat_kernel_dispatch():
+    """make_pallas_scorer transparently dispatches repeat tables."""
+    from graal_tpu.ops import likelihood_pallas as lp
+
+    state, table, params, obs = _repeat_problem(seed=10)
+    scorer = lp.make_pallas_scorer(table, obs, interpret=True)
+    batch = GenomeState(*[jnp.stack([x]) for x in state])
+    got = float(scorer(batch, params)[0])
+    want = float(likelihood.log_likelihood(state, table, obs, params))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=0.5)

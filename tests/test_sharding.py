@@ -91,3 +91,19 @@ def test_chain_exchange_broadcasts_best(problem):
             np.testing.assert_array_equal(
                 np.asarray(x[c]), np.asarray(getattr(state, f)),
                 err_msg=f"chain {c} field {f}")
+
+
+def test_sharded_likelihood_with_repeats():
+    """Row-sharded likelihood == single-chip jnp path on a repeat problem
+    (round-1 review item 4: repeats on every fast path)."""
+    from tests.test_pallas import _repeat_problem
+    from graal_tpu.parallel import make_mesh
+    from graal_tpu.parallel.sharding import sharded_log_likelihood
+    from graal_tpu.core import likelihood
+
+    state, table, params, obs = _repeat_problem(seed=12)
+    mesh = make_mesh(n_chains=1, n_rows=8)
+    fn = sharded_log_likelihood(mesh, table, obs)
+    got = float(fn(state, params))
+    want = float(likelihood.log_likelihood(state, table, obs, params))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=0.5)
