@@ -63,6 +63,10 @@ def _add_run_opts(p):
                    help="trace one EM cycle with jax.profiler into "
                         "<out>/profile and print per-stage timing + "
                         "achieved-bandwidth report")
+    p.add_argument("--scoring", default="auto",
+                   choices=["auto", "full", "delta"],
+                   help="candidate scoring: full-matrix, incremental "
+                        "(delta, the chr1-scale engine), or auto by size")
 
 
 def _config_from_args(args):
@@ -131,7 +135,8 @@ def cmd_run(args):
     for stage in args.sampler.split(","):
         if stage == "em":
             assembly = runner.run_em(resume=args.resume,
-                                     profile_dir=profile_dir)
+                                     profile_dir=profile_dir,
+                                     scoring=getattr(args, "scoring", "auto"))
         elif stage == "tempered":
             assembly = runner.run_tempered_em(n_chains=args.chains,
                                               t_max=args.t_max)

@@ -239,15 +239,34 @@ class Runner:
 
     # ---- run --------------------------------------------------------------
     def run_em(self, n_cycles=None, progress=True, resume=False,
-               checkpoint_every=1, profile_dir=None) -> Assembly:
+               checkpoint_every=1, profile_dir=None,
+               scoring: str = "auto") -> Assembly:
         """``profile_dir``: when set, the second (post-compile) cycle runs
         under jax.profiler.trace into that directory, per-stage wall times
         are collected, and an achieved-HBM-bandwidth report is printed
-        (the reference's CUDA-event timing discipline, cuda_lib_gl.py:544-593)."""
+        (the reference's CUDA-event timing discipline, cuda_lib_gl.py:544-593).
+
+        ``scoring``: 'full' scores every candidate with the full-matrix
+        likelihood (microseconds at S1 scale), 'delta' with the
+        incremental mini-state engine (the chr1-scale path,
+        sub_compute_likelihood semantics), 'auto' picks by problem size —
+        the measured crossover favours full scoring below ~6000 subs.
+        """
         import jax
         import jax.numpy as jnp
         from graal_tpu.utils import profiling
         from graal_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
+
+        if scoring == "auto":
+            scoring = "delta" if (self.table.n_subs > 6000
+                                  and not self.table.has_repeats) else "full"
+        if scoring == "delta":
+            if self.table.has_repeats:
+                raise ValueError(
+                    "delta scoring supports repeat-free geometry only "
+                    "(repeat toggles change whole data-grid rows); use "
+                    "scoring='full'")
+            return self._run_em_delta(n_cycles=n_cycles, progress=progress)
 
         cfg = self.cfg
         n_cycles = n_cycles or cfg.sampler.n_cycles
@@ -318,6 +337,78 @@ class Runner:
                       + self.nb.max_copies),
                 n, float(np.mean(steady)))
             print("bandwidth:", json.dumps(bw), flush=True)
+        check_invariants(state)
+        self.state = state
+        self.params = params
+        return Assembly(state=state, params=params, table=self.table,
+                        obs=self.obs, metrics=collected, level=self.level)
+
+    def _run_em_delta(self, n_cycles=None, progress=True) -> Assembly:
+        """EM with incremental (delta) candidate scoring — the
+        Runner-level wrapper over the chr1-scale engine, usable at any
+        size behind ``run_em(scoring='delta')``. Nuisance sampling runs
+        once per cycle on the re-anchored likelihood (per-step sampling
+        would cost a full evaluation per step; see graal_tpu.scale)."""
+        import jax
+        import jax.numpy as jnp
+        from graal_tpu.core import delta as delta_mod
+        from graal_tpu.core import sparse
+        from graal_tpu.scale import _next_pow2, max_contig_subs
+
+        cfg = self.cfg
+        n_cycles = n_cycles or cfg.sampler.n_cycles
+        sobs = sparse.sparse_from_dense(self.obs)
+        state = self.state
+        if cfg.sampler.scrambled:
+            state = jax.jit(mcmc.explode_genome)(state)
+        params = self.params
+        anchor = jax.jit(lambda s, p: log_likelihood(
+            s, self.table, jnp.asarray(self.obs, jnp.float32), p))
+        nuis = jax.jit(mcmc.make_nuisance_step(self.table, self.obs)) \
+            if cfg.sampler.sample_param else None
+        l_t = anchor(state, params)
+        key = jax.random.key(cfg.sampler.seed)
+        s_max = delta_mod.build_mini_table(self.table).s_max
+        n = state.n_frags
+        cycles = {}
+        collected = {k: [] for k in ("likelihood", "n_contigs", "overflow",
+                                     "op_sampled", "id_f_sampled",
+                                     "dist_init_genome", "fact", "slope",
+                                     "d_max", "v_inter")}
+        t0 = time.time()
+        for j in range(n_cycles):
+            bucket = _next_pow2(2 * max_contig_subs(state, self.table)
+                                + 2 * s_max)
+            bucket = min(max(bucket, 64), _next_pow2(n))
+            if bucket not in cycles:
+                cycles[bucket] = delta_mod.make_delta_em_cycle(
+                    self.table, self.obs, self.nb,
+                    delta=cfg.sampler.n_neighbours, f_max=bucket, sobs=sobs)
+            key, k_perm, k_cycle, k_nuis = jax.random.split(key, 4)
+            order = jax.random.permutation(k_perm, n)
+            f_t = temperature_schedule(cfg.sampler, j, n_cycles)
+            state, l_t, (lls, ops_, fbs, overs, ncs) = cycles[bucket](
+                state, k_cycle, params, order, l_t, jnp.float32(f_t))
+            if nuis is not None:
+                params, l_t, _ = nuis(state, k_nuis, params, l_t,
+                                      jnp.float32(f_t))
+            dist = dist_inter_genome(state, self.init_prev, self.init_next,
+                                     self.init_ori, self.orientable,
+                                     self.dist_skip)
+            collected["likelihood"].extend(np.asarray(lls).tolist())
+            collected["n_contigs"].extend(np.asarray(ncs).tolist())
+            collected["overflow"].extend(np.asarray(overs).tolist())
+            collected["op_sampled"].extend(np.asarray(ops_).tolist())
+            collected["id_f_sampled"].extend(np.asarray(fbs).tolist())
+            collected["dist_init_genome"].extend([dist] * n)
+            for k in ("fact", "slope", "d_max", "v_inter"):
+                collected[k].extend([float(getattr(params, k))] * n)
+            if progress:
+                print(f"cycle {j} (delta, f_max={bucket}): "
+                      f"loglik={float(l_t):.1f} "
+                      f"n_contigs={int(np.asarray(ncs)[-1])} dist={dist:.3f} "
+                      f"overflow={int(np.sum(np.asarray(overs)))} "
+                      f"({time.time() - t0:.1f}s)", flush=True)
         check_invariants(state)
         self.state = state
         self.params = params
