@@ -52,7 +52,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from graal_tpu.core.candidates import N_CANDIDATES, build_candidates
-from graal_tpu.core.model import RippeParams, expected_contacts
+from graal_tpu.core.model import RippeParams
 from graal_tpu.core.state import GenomeState
 from graal_tpu.core.subfrags import SubFragTable
 
@@ -204,25 +204,56 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
     col_i = jax.lax.broadcasted_iota(jnp.int32, (r_max, r_max), 1)
     strict_upper = col_i > row_i
 
-    def e_sum(geo, params):
-        """sum_{u<v} E(u, v) over the mini pair grid (no logs)."""
+    def _log_cis(s, circ_u, stot_u, params, with_circ: bool):
+        """log of the clamped cis expectation (the Pallas kernel's
+        log-space formulation: ~2 transcendentals instead of ~6); the
+        circular variant is compiled out when ``with_circ`` is False —
+        dscore switches on a runtime any-circular-in-D flag."""
+        log_v = jnp.log(params.v_inter)
+        safe_s = jnp.maximum(s, 1e-9)
+        log_s = jnp.log(safe_s)
+        n_lin = safe_s * (params.lm / params.kuhn)
+        log_lin = jnp.log(params.c1 * params.fact) + params.slope * log_s \
+            + (params.d - 2.0) / (n_lin * n_lin + params.d)
+        in_range = (s > 0.0) & (s < params.d_max)
+        if not with_circ:
+            return jnp.maximum(jnp.where(in_range, log_lin, log_v), log_v)
+        lk = params.lm / params.kuhn
+        log_k3fact = jnp.log(jnp.power(params.kuhn, -3.0) * params.fact)
+        log_norm_circ = log_k3fact + params.slope * jnp.log(lk) \
+            + (params.d - 2.0) / (lk * lk + params.d)
+        n_circ = lk * safe_s * jnp.maximum(stot_u - s, 1e-9) \
+            / jnp.maximum(stot_u, 1e-9)
+        log_val_circ = log_k3fact + params.slope * jnp.log(n_circ) \
+            + (params.d - 2.0) / (n_circ * n_circ + params.d)
+        log_norm_lin = jnp.maximum(jnp.where(in_range, log_lin, log_v),
+                                   log_v)
+        log_circ = log_val_circ + log_norm_lin - log_norm_circ
+        log_cis = jnp.where(circ_u == 1, log_circ, log_lin)
+        return jnp.maximum(jnp.where(in_range, log_cis, log_v), log_v)
+
+    def e_sum(geo, params, with_circ: bool):
+        """sum_{u<v} E(u, v) over the mini pair grid."""
         s = jnp.abs(geo["mid"][:, None] - geo["mid"][None, :])
         same = geo["idc"][:, None] == geo["idc"][None, :]
         na = geo["accu"][:, None] * geo["accu"][None, :] / nfpb
-        e = expected_contacts(s, same, geo["circ"][:, None] == 1,
-                              geo["stot"][:, None], na, params)
+        log_cis = _log_cis(s, geo["circ"][:, None], geo["stot"][:, None],
+                           params, with_circ)
+        e = jnp.where(same, jnp.exp(log_cis), params.v_inter) * na
         mask = strict_upper & geo["act"][:, None] & geo["act"][None, :]
         return jnp.sum(jnp.where(mask, e, 0.0))
 
-    def obs_logterm(geo, u_slot, v_slot, ob_vals, pair_ok, params):
-        """sum ob * log E over matched observed pairs (any layout)."""
+    def obs_logterm(geo, u_slot, v_slot, ob_vals, pair_ok, params,
+                    with_circ: bool):
+        """sum ob * log E over matched observed pairs (no exp at all)."""
         s = jnp.abs(geo["mid"][u_slot] - geo["mid"][v_slot])
         same = geo["idc"][u_slot] == geo["idc"][v_slot]
-        na = geo["accu"][u_slot] * geo["accu"][v_slot] / nfpb
-        e = expected_contacts(s, same, geo["circ"][u_slot] == 1,
-                              geo["stot"][u_slot], na, params)
+        log_na = jnp.log(geo["accu"][u_slot]) + jnp.log(geo["accu"][v_slot]) \
+            - jnp.log(nfpb)
+        log_cis = _log_cis(s, geo["circ"][u_slot], geo["stot"][u_slot],
+                           params, with_circ)
+        log_e = jnp.where(same, log_cis, jnp.log(params.v_inter)) + log_na
         ok = pair_ok & geo["act"][u_slot] & geo["act"][v_slot]
-        log_e = jnp.log(jnp.where(e > 0, e, 1.0))
         return jnp.sum(jnp.where(ok, ob_vals * log_e, 0.0))
 
     if use_window:
@@ -280,20 +311,32 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
         u_slot, v_slot, ob_vals, pair_ok = obs_pairs(subs, sub_valid)
 
         geo_base = geometry(mini, subs_c, sub_valid, owner_slot)
-        base_score = obs_weight * obs_logterm(
-            geo_base, u_slot, v_slot, ob_vals, pair_ok, params) \
-            - e_sum(geo_base, params)
 
-        def one(cand):
-            geo = geometry(cand, subs_c, sub_valid, owner_slot)
-            w = obs_weight * obs_logterm(geo, u_slot, v_slot, ob_vals,
-                                         pair_ok, params)
-            return w - e_sum(geo, params) - base_score
+        # circular contigs are rare (paste can circularise); pay the
+        # circular-variant transcendentals only when D actually has one
+        any_circ = jnp.any((mini.circ == 1) & valid) | \
+            jnp.any(cands.circ == 1)
 
-        if candidate_batch == "vmap":
-            dll = jax.vmap(one)(cands)
-        else:
-            dll = jax.lax.map(one, cands)
+        def score_all(with_circ: bool):
+            def run(_):
+                base_score = obs_weight * obs_logterm(
+                    geo_base, u_slot, v_slot, ob_vals, pair_ok, params,
+                    with_circ) - e_sum(geo_base, params, with_circ)
+
+                def one(cand):
+                    geo = geometry(cand, subs_c, sub_valid, owner_slot)
+                    w = obs_weight * obs_logterm(
+                        geo, u_slot, v_slot, ob_vals, pair_ok, params,
+                        with_circ)
+                    return w - e_sum(geo, params, with_circ) - base_score
+
+                if candidate_batch == "vmap":
+                    return jax.vmap(one)(cands)
+                return jax.lax.map(one, cands)
+            return run
+
+        dll = jax.lax.cond(any_circ, score_all(True), score_all(False),
+                           operand=None)
         return dll, cands, rows, valid, overflow
 
     return dscore

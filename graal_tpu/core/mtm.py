@@ -157,9 +157,16 @@ def _make_scores_for(table, obs, ll_dtype, scorer):
 
 
 def make_mtm_step(table: SubFragTable, obs, jump: JumpTable,
-                  ll_dtype=jnp.float32, scorer=None):
+                  ll_dtype=jnp.float32, scorer=None,
+                  corrected: bool = False):
     """Jitted step_mtm(state, key, params, l_t, f_a, f_t) ->
-    (state, l_t, accepted, n_contigs)."""
+    (state, l_t, accepted, n_contigs).
+
+    ``corrected=True`` fixes a replicated reference quirk: the backward
+    pass then pivots at f* with f*'s OWN neighbour set (canonical MTM),
+    instead of reusing fA's set (cuda_lib_gl.py:3010). Default replicates
+    the reference for parity.
+    """
     obs = jnp.asarray(obs, jnp.float32)
     scores_for = _make_scores_for(table, obs, ll_dtype, scorer)
 
@@ -188,10 +195,16 @@ def make_mtm_step(table: SubFragTable, obs, jump: JumpTable,
         ll_star = ll_f.reshape(-1)[omega]
         f_star = nb_ids[sel_nb]
 
-        # ---- backward pass: pivot at f*, same neighbour set
-        # (cuda_lib_gl.py:3010 passes V_set of fA) ----
-        _, ll_b = scores_for(g_star, f_star, nb_ids, params)
-        discard_b = _impossibility_mask(g_star, f_a, nb_ids) | ~nb_valid[:, None]
+        # ---- backward pass: pivot at f* ----
+        if corrected:
+            # canonical MTM: the return proposal draws from f*'s own
+            # jumping distribution
+            bk_ids, bk_valid = _neighbour_set(g_star, f_star, jump)
+        else:
+            # reference quirk: V_set of fA reused (cuda_lib_gl.py:3010)
+            bk_ids, bk_valid = nb_ids, nb_valid
+        _, ll_b = scores_for(g_star, f_star, bk_ids, params)
+        discard_b = _impossibility_mask(g_star, f_a, bk_ids) | ~bk_valid[:, None]
         w_b, max_b = weights(ll_b.reshape(-1), discard_b.reshape(-1), f_t,
                              MTM_THRESH_OVERFLOW)
 
@@ -206,9 +219,16 @@ def make_mtm_step(table: SubFragTable, obs, jump: JumpTable,
 
 
 def make_mh_step(table: SubFragTable, obs, jump: JumpTable,
-                 ll_dtype=jnp.float32, scorer=None):
+                 ll_dtype=jnp.float32, scorer=None,
+                 corrected: bool = False):
     """Jitted plain Metropolis-Hastings step
-    (step_metropolis_hastings_s_a, cuda_lib_gl.py:2836-2934)."""
+    (step_metropolis_hastings_s_a, cuda_lib_gl.py:2836-2934).
+
+    ``corrected=True`` uses the canonical MH ratio
+    exp((L* - L_t)/F_t) * p_bwd / p_fwd; the default replicates the
+    reference, which ADDS the proposal probabilities to the
+    log-likelihoods inside the exponent (cuda_lib_gl.py:2913).
+    """
     obs = jnp.asarray(obs, jnp.float32)
     scores_for = _make_scores_for(table, obs, ll_dtype, scorer)
 
@@ -242,7 +262,12 @@ def make_mh_step(table: SubFragTable, obs, jump: JumpTable,
         wb = jnp.where(discard_b.reshape(-1), 0.0, jnp.exp(sb))
         p_bwd = jnp.exp(target) / jnp.sum(wb)
 
-        ratio = jnp.exp((ll_star + p_bwd - l_t - p_fwd) / f_t)
+        if corrected:
+            ratio = jnp.exp((ll_star - l_t) / f_t) \
+                * p_bwd / jnp.maximum(p_fwd, 1e-30)
+        else:
+            # reference form: probabilities added to log-likelihoods
+            ratio = jnp.exp((ll_star + p_bwd - l_t - p_fwd) / f_t)
         accept = jnp.minimum(ratio, 1.0) >= jax.random.uniform(k_acc, ())
         new_state = GenomeState(*[jnp.where(accept, a, b)
                                   for a, b in zip(g_star, state)])
@@ -253,11 +278,12 @@ def make_mh_step(table: SubFragTable, obs, jump: JumpTable,
 
 
 def make_mtm_cycle(table: SubFragTable, obs, jump: JumpTable, variant="mtm",
-                   ll_dtype=jnp.float32, scorer=None):
+                   ll_dtype=jnp.float32, scorer=None,
+                   corrected: bool = False):
     """One full MTM/MH cycle over a fragment order as a lax.scan
     (the start_MTM inner loop, main_gl.py:361-379)."""
     step = (make_mtm_step if variant == "mtm" else make_mh_step)(
-        table, obs, jump, ll_dtype, scorer=scorer)
+        table, obs, jump, ll_dtype, scorer=scorer, corrected=corrected)
 
     @jax.jit
     def cycle(state: GenomeState, key, params: RippeParams, frag_order, l_t, f_t):

@@ -112,3 +112,31 @@ def test_mtm_step_with_scorer_matches_jnp(problem):
         np.testing.assert_allclose(float(l_a), float(l_b), rtol=1e-4)
         for a, b in zip(s_a, s_b):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+@pytest.mark.parametrize("variant", ["mtm", "mh"])
+def test_corrected_variants_refine(problem, variant):
+    """The corrected MTM/MH variants (canonical backward set / MH ratio)
+    must also accept moves and climb from a lightly perturbed genome."""
+    state, table, params, obs = problem
+    n = state.n_frags
+    jump = make_jump(problem)
+    cycle = mtm.make_mtm_cycle(table, obs, jump, variant=variant,
+                               corrected=True)
+    rng = np.random.default_rng(7)
+    cur = state
+    for _ in range(3):
+        fa, fb = int(rng.integers(n)), int(rng.integers(n))
+        cur = jax.jit(mcmc.apply_mutation)(cur, fa, fb, 0)
+    l0 = float(likelihood.log_likelihood(cur, table, obs, params))
+    l_true = float(likelihood.log_likelihood(state, table, obs, params))
+    l_t = jnp.float32(l0)
+    key = jax.random.key(5)
+    for j in range(6):
+        key, k1, k2 = jax.random.split(key, 3)
+        order = jax.random.permutation(k1, n)
+        cur, l_t, (lls, accepts, ncs) = cycle(cur, k2, params, order, l_t,
+                                              jnp.float32(1.0))
+    check_invariants(cur)
+    # MTM/MH are conservative refiners; require clear improvement
+    assert float(l_t) > l0 + 0.15 * (l_true - l0), (l0, float(l_t), l_true)
