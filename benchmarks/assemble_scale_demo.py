@@ -1,0 +1,72 @@
+"""Chr1-scale assembly demo: a large shuffled genome reassembling on one
+chip, with wall-clock, likelihood and ground-truth distance per cycle.
+
+Unlike bench_scale.py (steady-state step latency), this runs REAL
+assembly cycles and reports convergence. Defaults are sized so a full
+run fits in ~20-40 min of chip time; scale up with the arguments.
+
+Usage: python benchmarks/assemble_scale_demo.py [n_bins] [n_cycles] [steps_per_cycle]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(n_bins=20_000, n_cycles=5, steps_per_cycle=None):
+    import jax
+    from graal_tpu.scale import ScaleRunner
+    from graal_tpu.utils.synthetic_sparse import (make_scale_genome,
+                                                  scale_params,
+                                                  shuffle_genome,
+                                                  simulate_sparse_contacts)
+
+    params = scale_params()
+    n_contigs = max(n_bins // 500, 4)
+    t0 = time.time()
+    state, table = make_scale_genome(n_bins, n_contigs, seed=77)
+    sobs = simulate_sparse_contacts(state, table, params, seed=77)
+    runner = ScaleRunner(table, sobs, params)
+    shuf = shuffle_genome(state, max(n_bins // 200, 8), seed=78)
+    t_setup = time.time() - t0
+
+    ll_true = float(runner.anchor_fn()(state, params))
+    ll_start = float(runner.anchor_fn()(shuf, params))
+
+    final, _, m = runner.run(shuf, n_cycles=n_cycles,
+                             steps_per_cycle=steps_per_cycle,
+                             f_max_min=128, seed=79, progress=True,
+                             init_truth=state)
+    gap0 = ll_true - ll_start
+    gap1 = ll_true - m["likelihood"][-1]
+    print(json.dumps({
+        "metric": "chr1_scale_assembly_demo",
+        "n_fragments": n_bins,
+        "n_chromosomes": n_contigs,
+        "nnz_sym": int(sobs.rows.shape[0]),
+        "platform": jax.default_backend(),
+        "setup_s": round(t_setup, 1),
+        "cycles_s": [round(x, 1) for x in m["cycle_s"]],
+        "f_max_buckets": m["f_max"],
+        "ll_true": round(ll_true, 1),
+        "ll_start": round(ll_start, 1),
+        "ll_final": round(m["likelihood"][-1], 1),
+        "gap_closed_pct": round(100 * (1 - gap1 / gap0), 1),
+        "n_contigs_final": m["n_contigs"][-1],
+        "dist_final": round(m["dist_init_genome"][-1], 4)
+        if m["dist_init_genome"] else None,
+    }))
+
+
+if __name__ == "__main__":
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
+    c = int(sys.argv[2]) if len(sys.argv) > 2 else 5
+    s = int(sys.argv[3]) if len(sys.argv) > 3 else None
+    main(n, c, s)

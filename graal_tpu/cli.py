@@ -42,6 +42,9 @@ def _add_run_opts(p):
                         "robustness experiments")
     p.add_argument("--snapshots", action="store_true",
                    help="save reordered matrix snapshots before/after")
+    p.add_argument("--snapshot-every", type=int, default=0,
+                   help="also snapshot every N EM cycles (animate with "
+                        "python -m graal_tpu.utils.plots OUT_DIR)")
     p.add_argument("--polish", action="store_true",
                    help="resolve unorientable-fragment orientations by "
                         "neighbourhood consensus before the FASTA export")
@@ -92,6 +95,8 @@ def _config_from_args(args):
     cfg.sampler.t0 = args.t0
     cfg.sampler.tf = args.tf
     cfg.sampler.sub_sample_factor = getattr(args, "sub_sample", 0.0)
+    cfg.sampler.scoring = getattr(args, "scoring", "auto")
+    cfg.sampler.snapshot_every = getattr(args, "snapshot_every", 0)
     cfg.model.use_rippe = getattr(args, "model", "rippe") != "hic"
     return cfg
 
@@ -136,7 +141,7 @@ def cmd_run(args):
         if stage == "em":
             assembly = runner.run_em(resume=args.resume,
                                      profile_dir=profile_dir,
-                                     scoring=getattr(args, "scoring", "auto"))
+                                     scoring=cfg.sampler.scoring)
         elif stage == "tempered":
             assembly = runner.run_tempered_em(n_chains=args.chains,
                                               t_max=args.t_max)
@@ -169,6 +174,28 @@ def cmd_simulate(args):
     info = write_synthetic_dataset(args.out, n_bins=args.bins,
                                    n_contigs=args.contigs, seed=args.seed)
     print(json.dumps(info))
+    return 0
+
+
+def cmd_probe(args):
+    """Likelihood-landscape probe of one fragment: all 13 ops against
+    every neighbour (test_model / new_test_model, main_gl.py:414-661)."""
+    from graal_tpu.core.candidates import MODIFICATION_STR
+    from graal_tpu.pipeline import Runner
+
+    cfg = _config_from_args(args)
+    runner = Runner(cfg)
+    ids, valid, ll = runner.probe_fragment(args.fragment)
+    best = ll.reshape(-1).argmax()
+    print(f"fragment {args.fragment}: {int(valid.sum())} valid neighbours")
+    for k, fb in enumerate(ids):
+        if not valid[k]:
+            continue
+        row = " ".join(f"{x:9.1f}" for x in ll[k])
+        print(f"  vs {int(fb):5d}: {row}")
+    print(f"best slot: neighbour {int(ids[best // 13])}, "
+          f"op {int(best % 13)} ({MODIFICATION_STR[best % 13]}), "
+          f"score {float(ll.reshape(-1)[best]):.1f}")
     return 0
 
 
@@ -225,6 +252,12 @@ def main(argv=None):
     p.add_argument("--contigs", type=int, default=4)
     p.add_argument("--seed", type=int, default=0)
     p.set_defaults(fn=cmd_simulate)
+
+    p = sub.add_parser("probe", help="likelihood landscape of one fragment")
+    p.add_argument("dataset")
+    p.add_argument("fragment", type=int)
+    _add_run_opts(p)
+    p.set_defaults(fn=cmd_probe)
 
     p = sub.add_parser("replay", help="re-apply a recorded mutation log")
     p.add_argument("dataset")

@@ -41,6 +41,10 @@ class SamplerConfig:
     sample_param: bool = True      # nuisance sampling each step (main_gl.py:260)
     allow_repeats: bool = False    # repeat duplication (simulation_loader.py:380)
     scrambled: bool = True         # explode genome before sampling (main_gl.py:218)
+    scoring: str = "auto"          # candidate scoring: auto | full | delta
+    snapshot_every: int = 0        # save a reordered-matrix snapshot every N
+                                   # cycles (0 = only on request); the series
+                                   # animates via utils.plots.animate_snapshots
     blacklist_contigs: tuple = ()  # contig ids to freeze (simulation_loader.py:129)
     sub_sample_factor: float = 0.0 # Poisson coverage sub-sampling (cuda_lib_gl.py:667)
     seed: int = 1                  # RNG seed (cuda_lib_gl.py:364)

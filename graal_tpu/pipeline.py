@@ -328,6 +328,9 @@ class Runner:
             if checkpoint_every and (j + 1) % checkpoint_every == 0:
                 with timer.stage("checkpoint"):
                     save_checkpoint(ckpt_path, state, params, j + 1, key)
+            snap_every = getattr(cfg.sampler, "snapshot_every", 0)
+            if snap_every and (j + 1) % snap_every == 0:
+                self.save_matrix_snapshot(f"snapshot_{j + 1:04d}", state)
         if profile_dir is not None and cycle_times:
             timer.print_report("EM profiling")
             steady = cycle_times[1:] or cycle_times

@@ -74,6 +74,45 @@ def summarize_run(output_dir: str, out_name: str = "summary.png") -> str | None:
     return out
 
 
+def animate_snapshots(output_dir: str, out_name: str = "assembly.gif",
+                      fps: int = 2) -> str | None:
+    """Animate the snapshot_NNNN matrix series (pipeline
+    ``snapshot_every``) into a GIF — the headless stand-in for the
+    reference's live GL matrix view (reorder_tex, kernels3.cu:3777-3822).
+    Returns the written path, or None without matplotlib/snapshots."""
+    import glob
+
+    files = sorted(glob.glob(os.path.join(output_dir, "snapshot_*.npy")))
+    if not files:
+        return None
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.animation as animation
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    mats = [np.load(f) for f in files]
+    vmax = max(np.percentile(m[m > 0], 98) if (m > 0).any() else 1.0
+               for m in mats)
+    fig, ax = plt.subplots(figsize=(6, 6), dpi=100)
+    im = ax.imshow(mats[0], vmin=0, vmax=vmax, cmap="afmhot_r",
+                   interpolation="nearest")
+    title = ax.set_title(os.path.basename(files[0]))
+    ax.set_xticks([]), ax.set_yticks([])
+
+    def update(i):
+        im.set_data(mats[i])
+        title.set_text(os.path.basename(files[i]))
+        return [im, title]
+
+    anim = animation.FuncAnimation(fig, update, frames=len(mats))
+    out = os.path.join(output_dir, out_name)
+    anim.save(out, writer=animation.PillowWriter(fps=fps))
+    plt.close(fig)
+    return out
+
+
 def main(argv=None):
     import sys
 
@@ -85,6 +124,9 @@ def main(argv=None):
         out = summarize_run(d)
         if out:
             print(f"wrote {out}")
+        gif = animate_snapshots(d)
+        if gif:
+            print(f"wrote {gif}")
     return 0
 
 
