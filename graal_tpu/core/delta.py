@@ -402,11 +402,18 @@ def make_delta_em_cycle(table: SubFragTable, obs, nb, delta: int, f_max: int,
 
     ``anchor_fn(state, params) -> scalar``: the full-likelihood evaluation
     used to re-anchor l_t (defaults to the dense jnp likelihood; pass the
-    sparse evaluation at chr1 scale).
+    sparse evaluation at chr1 scale, or ``anchor_fn=False`` to skip the
+    re-anchor entirely — chunked callers anchor once per cycle outside).
     """
     from graal_tpu.core.likelihood import log_likelihood
 
     step = make_delta_em_step(table, obs, nb, delta, f_max, sobs=sobs)
+    if anchor_fn is False:
+        def anchor_fn(state, params, l_t=None):
+            return l_t
+        skip_anchor = True
+    else:
+        skip_anchor = False
     if anchor_fn is None:
         obs_j = jnp.asarray(obs, jnp.float32)
 
@@ -424,7 +431,7 @@ def make_delta_em_cycle(table: SubFragTable, obs, nb, delta: int, f_max: int,
 
         (state, key, l_t), (lls, ops_, fbs, overs, ncs) = jax.lax.scan(
             body, (state, key, l_t), frag_order)
-        l_anchor = anchor_fn(state, params)
+        l_anchor = l_t if skip_anchor else anchor_fn(state, params)
         return state, l_anchor, (lls, ops_, fbs, overs, ncs)
 
     return cycle

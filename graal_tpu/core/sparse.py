@@ -191,7 +191,9 @@ def make_sparse_loglik(table: SubFragTable, sobs: SparseObs, w: int):
 
 def make_sparse_obs_fn(sobs: SparseObs, r_max: int):
     """Dense (R, R) observed-count gather for a set of sub rows, built from
-    the symmetric CSR windows — the delta scorer's obs_fn at chr1 scale."""
+    the symmetric CSR windows. The delta scorer now consumes CSR windows
+    directly (scatter-free); this materialised form remains as the test
+    oracle for the window machinery."""
     cap = sobs.row_cap
     nnz = sobs.cols.shape[0]
 

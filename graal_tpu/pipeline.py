@@ -266,7 +266,9 @@ class Runner:
                     "delta scoring supports repeat-free geometry only "
                     "(repeat toggles change whole data-grid rows); use "
                     "scoring='full'")
-            return self._run_em_delta(n_cycles=n_cycles, progress=progress)
+            return self._run_em_delta(n_cycles=n_cycles, progress=progress,
+                                      resume=resume,
+                                      checkpoint_every=checkpoint_every)
 
         cfg = self.cfg
         n_cycles = n_cycles or cfg.sampler.n_cycles
@@ -346,7 +348,8 @@ class Runner:
         return Assembly(state=state, params=params, table=self.table,
                         obs=self.obs, metrics=collected, level=self.level)
 
-    def _run_em_delta(self, n_cycles=None, progress=True) -> Assembly:
+    def _run_em_delta(self, n_cycles=None, progress=True, resume=False,
+                      checkpoint_every=1) -> Assembly:
         """EM with incremental (delta) candidate scoring — the
         Runner-level wrapper over the chr1-scale engine, usable at any
         size behind ``run_em(scoring='delta')``. Nuisance sampling runs
@@ -357,6 +360,7 @@ class Runner:
         from graal_tpu.core import delta as delta_mod
         from graal_tpu.core import sparse
         from graal_tpu.scale import _next_pow2, max_contig_subs
+        from graal_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
         cfg = self.cfg
         n_cycles = n_cycles or cfg.sampler.n_cycles
@@ -369,8 +373,15 @@ class Runner:
             s, self.table, jnp.asarray(self.obs, jnp.float32), p))
         nuis = jax.jit(mcmc.make_nuisance_step(self.table, self.obs)) \
             if cfg.sampler.sample_param else None
-        l_t = anchor(state, params)
         key = jax.random.key(cfg.sampler.seed)
+        start_cycle = 0
+        ckpt_path = os.path.join(cfg.output_dir, "checkpoint.npz")
+        if resume and os.path.exists(ckpt_path):
+            state, params, start_cycle, key, _ = load_checkpoint(ckpt_path)
+            if progress:
+                print(f"resumed from {ckpt_path} at cycle {start_cycle}",
+                      flush=True)
+        l_t = anchor(state, params)
         s_max = delta_mod.build_mini_table(self.table).s_max
         n = state.n_frags
         cycles = {}
@@ -379,7 +390,7 @@ class Runner:
                                      "dist_init_genome", "fact", "slope",
                                      "d_max", "v_inter")}
         t0 = time.time()
-        for j in range(n_cycles):
+        for j in range(start_cycle, n_cycles):
             bucket = _next_pow2(2 * max_contig_subs(state, self.table)
                                 + 2 * s_max)
             bucket = min(max(bucket, 64), _next_pow2(n))
@@ -412,6 +423,8 @@ class Runner:
                       f"n_contigs={int(np.asarray(ncs)[-1])} dist={dist:.3f} "
                       f"overflow={int(np.sum(np.asarray(overs)))} "
                       f"({time.time() - t0:.1f}s)", flush=True)
+            if checkpoint_every and (j + 1) % checkpoint_every == 0:
+                save_checkpoint(ckpt_path, state, params, j + 1, key)
         check_invariants(state)
         self.state = state
         self.params = params

@@ -16,9 +16,9 @@ runner wires the sparse pieces together:
   evaluation per step at this scale; the reference's per-step choice is
   affordable only because its problems are 10^3 bins).
 
-Multi-chip: see parallel.sharding.make_sharded_delta_scorer (candidates
-sharded over the mesh; the mini-state pair grids are small, so the win is
-across candidates, not rows).
+Multi-chip: see parallel.sharding.make_sharded_delta_cycle (chains
+sharded over the mesh; the mini-state pair grids are small, so the axis
+worth spending devices on is chains, not rows).
 """
 
 from __future__ import annotations
@@ -92,11 +92,13 @@ class ScaleRunner:
         return lambda sb, p: jax.vmap(lambda s: anchor(s, p))(sb)
 
     def cycle_for(self, f_max: int, delta: int):
+        """Compiled chunk: no internal re-anchor (the runner anchors once
+        per cycle; chunks would otherwise pay the full sparse evaluation
+        each)."""
         if (f_max, delta) not in self._cycles:
             self._cycles[(f_max, delta)] = delta_mod.make_delta_em_cycle(
                 self.table, None, self.nb, delta=delta, f_max=f_max,
-                sobs=self.sobs, anchor_fn=sparse.make_sparse_loglik(
-                    self.table, self.sobs, self.w))
+                sobs=self.sobs, anchor_fn=False)
         return self._cycles[(f_max, delta)]
 
     def nuisance_step(self):
@@ -112,10 +114,17 @@ class ScaleRunner:
             steps_per_cycle: int | None = None, f_max_min: int = 256,
             f_max_cap: int = 1 << 14, f_t: float = 1.0,
             sample_param: bool = False, seed: int = 1, progress: bool = True,
-            init_truth: GenomeState | None = None):
+            init_truth: GenomeState | None = None, chunk_steps: int = 512):
         """Assemble from ``state0``. ``steps_per_cycle`` caps the fragment
         steps per cycle (default: every fragment once, like the reference's
-        start_EM); ``init_truth`` enables the dist_inter_genome series."""
+        start_EM); ``init_truth`` enables the dist_inter_genome series.
+
+        ``chunk_steps`` bounds the length of a single device execution: a
+        full chr1-scale cycle in one XLA program runs for tens of minutes,
+        which remote-attached devices abort (observed as UNAVAILABLE
+        device errors); chunking costs one host round-trip per chunk. The
+        last chunk wraps around the permutation (a few fragments sampled
+        twice — harmless for MCMC)."""
         import jax
         import jax.numpy as jnp
 
@@ -151,11 +160,28 @@ class ScaleRunner:
             bucket = int(np.clip(bucket, f_max_min, f_max_cap))
             bucket = min(bucket, _next_pow2(n))
             cycle = self.cycle_for(bucket, delta)
-            key, k_perm, k_cycle, k_nuis = jax.random.split(key, 4)
-            order = jax.random.permutation(k_perm, n)[:steps]
+            key, k_perm, k_nuis = jax.random.split(key, 3)
+            order = np.asarray(jax.random.permutation(k_perm, n)[:steps])
+            chunk = min(chunk_steps, steps)
+            n_chunks = -(-steps // chunk)
+            pad = n_chunks * chunk - steps
+            if pad:
+                order = np.concatenate([order, order[:pad]])
             tc = time.time()
-            state, l_t, (lls, ops_, fbs, overs, ncs) = cycle(
-                state, k_cycle, params, order, l_t, jnp.float32(f_t))
+            lls_c, ops_c, fbs_c, overs_c, ncs_c = [], [], [], [], []
+            for c0 in range(0, len(order), chunk):
+                key, k_cycle = jax.random.split(key)
+                state, l_t, (lls, ops_, fbs, overs, ncs) = cycle(
+                    state, k_cycle, params,
+                    jnp.asarray(order[c0:c0 + chunk]), l_t,
+                    jnp.float32(f_t))
+                lls_c.append(np.asarray(lls)), ops_c.append(np.asarray(ops_))
+                fbs_c.append(np.asarray(fbs))
+                overs_c.append(np.asarray(overs))
+                ncs_c.append(np.asarray(ncs))
+            lls, ops_, fbs = map(np.concatenate, (lls_c, ops_c, fbs_c))
+            overs, ncs = map(np.concatenate, (overs_c, ncs_c))
+            l_t = anchor(state, params)   # one re-anchor per cycle
             if sample_param:
                 params, l_t, _ = self.nuisance_step()(
                     state, k_nuis, params, l_t, jnp.float32(f_t))

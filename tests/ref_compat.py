@@ -9,7 +9,6 @@ read at test time and the tests skip when it is absent.
 
 from __future__ import annotations
 
-import importlib.util
 import os
 import re
 import sys
