@@ -166,8 +166,12 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
     if not use_window:
         obs_j = jnp.asarray(obs, jnp.float32)
 
+    # 'auto' always vmaps: the sequential lax.map variant reproducibly
+    # crashes the TPU worker at r_max >= 2048 (observed on v5e — also the
+    # likely cause of the round-1 K=6000 delta fault), while the vmapped
+    # grids run fine; 'map' remains selectable for memory-bound hosts.
     if candidate_batch == "auto":
-        candidate_batch = "vmap" if r_max <= 1536 else "map"
+        candidate_batch = "vmap"
 
     sub_len = table.len_kb
     sub_pre = table.prefix_kb
@@ -343,7 +347,7 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
 
 
 def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
-                      sobs=None):
+                      sobs=None, candidate_batch: str = "auto"):
     """EM step with delta scoring (shift-equivalent to absolute scores: the
     selection filter is shift-invariant). Returns
     step(state, key, params, l_t, f_a, f_t) ->
@@ -356,7 +360,8 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
     """
     from graal_tpu.core.mcmc import sample_neighbours, select_score_slot
 
-    dscore = make_delta_scorer(table, obs, f_max, sobs=sobs)
+    dscore = make_delta_scorer(table, obs, f_max, sobs=sobs,
+                               candidate_batch=candidate_batch)
 
     def step(state: GenomeState, key, params: RippeParams, l_t, f_a, f_t):
         k_nb, k_sel = jax.random.split(key)
@@ -396,7 +401,8 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
 
 
 def make_delta_em_cycle(table: SubFragTable, obs, nb, delta: int, f_max: int,
-                        sobs=None, anchor_fn=None):
+                        sobs=None, anchor_fn=None,
+                        candidate_batch: str = "auto"):
     """Full delta-scored EM cycle as a lax.scan, with a final full
     re-anchoring of the likelihood.
 
@@ -407,7 +413,8 @@ def make_delta_em_cycle(table: SubFragTable, obs, nb, delta: int, f_max: int,
     """
     from graal_tpu.core.likelihood import log_likelihood
 
-    step = make_delta_em_step(table, obs, nb, delta, f_max, sobs=sobs)
+    step = make_delta_em_step(table, obs, nb, delta, f_max, sobs=sobs,
+                              candidate_batch=candidate_batch)
     if anchor_fn is False:
         def anchor_fn(state, params, l_t=None):
             return l_t
