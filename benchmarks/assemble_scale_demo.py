@@ -42,7 +42,7 @@ def main(n_bins=20_000, n_cycles=5, steps_per_cycle=None):
 
     final, _, m = runner.run(shuf, n_cycles=n_cycles,
                              steps_per_cycle=steps_per_cycle,
-                             f_max_min=128, seed=79, progress=True,
+                             f_max_min=512, seed=79, progress=True,
                              init_truth=state)
     gap0 = ll_true - ll_start
     gap1 = ll_true - m["likelihood"][-1]

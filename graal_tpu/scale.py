@@ -47,6 +47,13 @@ def max_contig_subs(state: GenomeState, table: SubFragTable) -> int:
     return int(np.bincount(inv, weights=counts).max())
 
 
+def contig_frags_per_frag(state: GenomeState) -> np.ndarray:
+    """(n,) fragment count of each fragment's contig (host)."""
+    id_c = np.asarray(state.id_c)
+    _, inv = np.unique(id_c, return_inverse=True)
+    return np.bincount(inv)[inv]
+
+
 class ScaleRunner:
     """One configured chr1-scale assembly run."""
 
@@ -124,7 +131,15 @@ class ScaleRunner:
         which remote-attached devices abort (observed as UNAVAILABLE
         device errors); chunking costs one host round-trip per chunk. The
         last chunk wraps around the permutation (a few fragments sampled
-        twice — harmless for MCMC)."""
+        twice — harmless for MCMC).
+
+        Steps are scheduled in TWO capacity tiers per cycle: fragments of
+        small contigs run at the base ``f_max_min`` bucket (cheap pair
+        grids), and only fragments of large contigs — plus any step that
+        fully overflowed the small tier — pay the large bucket sized for
+        the biggest contig. A cycle with one chr-scale contig among
+        thousands of small ones no longer pays the large grids
+        everywhere."""
         import jax
         import jax.numpy as jnp
 
@@ -151,36 +166,65 @@ class ScaleRunner:
             dist_ref = (ip, inx, np.asarray(init_truth.ori),
                         orientable, np.zeros(n, bool))
 
+        def run_tier(state, l_t, key, bucket, order_np, f_t):
+            """Run ``order_np`` steps at one bucket, chunked on a
+            decreasing size ladder (wrapped padding <= 31 steps)."""
+            cycle = self.cycle_for(bucket, delta)
+            outs = []
+            i = 0
+            ladder = [c for c in (chunk_steps, 128, 32) if c <= chunk_steps]
+            while i < len(order_np):
+                rem = len(order_np) - i
+                chunk = next((c for c in ladder if c <= rem), ladder[-1])
+                seg = order_np[i:i + chunk]
+                if len(seg) < chunk:   # wrap-pad the tail
+                    seg = np.concatenate(
+                        [seg, order_np[: chunk - len(seg)]])
+                key, k_cycle = jax.random.split(key)
+                state, l_t, out = cycle(state, k_cycle, params,
+                                        jnp.asarray(seg), l_t,
+                                        jnp.float32(f_t))
+                outs.append(jax.tree.map(np.asarray, out))
+                i += chunk
+            return state, l_t, outs, key
+
         metrics = {"likelihood": [], "n_contigs": [], "overflow": [],
                    "dist_init_genome": [], "f_max": [], "cycle_s": []}
         t0 = time.time()
         for j in range(n_cycles):
-            bucket = _next_pow2(2 * max_contig_subs(state, self.table)
-                                + 2 * s_max)
-            bucket = int(np.clip(bucket, f_max_min, f_max_cap))
-            bucket = min(bucket, _next_pow2(n))
-            cycle = self.cycle_for(bucket, delta)
+            big_bucket = _next_pow2(2 * max_contig_subs(state, self.table)
+                                    + 2 * s_max)
+            big_bucket = int(np.clip(big_bucket, f_max_min, f_max_cap))
+            big_bucket = min(big_bucket, _next_pow2(n))
+            small_bucket = min(f_max_min, big_bucket)
             key, k_perm, k_nuis = jax.random.split(key, 3)
             order = np.asarray(jax.random.permutation(k_perm, n)[:steps])
-            chunk = min(chunk_steps, steps)
-            n_chunks = -(-steps // chunk)
-            pad = n_chunks * chunk - steps
-            if pad:
-                order = np.concatenate([order, order[:pad]])
             tc = time.time()
-            lls_c, ops_c, fbs_c, overs_c, ncs_c = [], [], [], [], []
-            for c0 in range(0, len(order), chunk):
-                key, k_cycle = jax.random.split(key)
-                state, l_t, (lls, ops_, fbs, overs, ncs) = cycle(
-                    state, k_cycle, params,
-                    jnp.asarray(order[c0:c0 + chunk]), l_t,
-                    jnp.float32(f_t))
-                lls_c.append(np.asarray(lls)), ops_c.append(np.asarray(ops_))
-                fbs_c.append(np.asarray(fbs))
-                overs_c.append(np.asarray(overs))
-                ncs_c.append(np.asarray(ncs))
-            lls, ops_, fbs = map(np.concatenate, (lls_c, ops_c, fbs_c))
-            overs, ncs = map(np.concatenate, (overs_c, ncs_c))
+            cfrag = contig_frags_per_frag(state)
+            small_sel = 2 * cfrag[order] + 4 <= small_bucket
+            outs = []
+            if small_bucket < big_bucket and small_sel.any():
+                state, l_t, outs_s, key = run_tier(
+                    state, l_t, key, small_bucket, order[small_sel], f_t)
+                outs.extend(outs_s)
+                # steps that fully overflowed (no-op, op == -1 with
+                # overflow counted) retry at the large bucket
+                ops_s = np.concatenate([o[1] for o in outs_s])
+                overs_s = np.concatenate([o[3] for o in outs_s])
+                src_frags = np.concatenate(
+                    [order[small_sel],
+                     order[small_sel][: len(ops_s) - small_sel.sum()]])                     if len(ops_s) > small_sel.sum() else order[small_sel]
+                retry = src_frags[(ops_s == -1) & (overs_s > 0)]
+                big_order = np.concatenate([order[~small_sel], retry])
+            else:
+                big_order = order
+            if len(big_order):
+                state, l_t, outs_b, key = run_tier(
+                    state, l_t, key, big_bucket, big_order, f_t)
+                outs.extend(outs_b)
+            lls, ops_, fbs, overs, ncs = (
+                np.concatenate([o[k] for o in outs]) for k in range(5))
+            bucket = big_bucket
             l_t = anchor(state, params)   # one re-anchor per cycle
             if sample_param:
                 params, l_t, _ = self.nuisance_step()(
