@@ -5,7 +5,8 @@ Unlike bench_scale.py (steady-state step latency), this runs REAL
 assembly cycles and reports convergence. Defaults are sized so a full
 run fits in ~20-40 min of chip time; scale up with the arguments.
 
-Usage: python benchmarks/assemble_scale_demo.py [n_bins] [n_cycles] [steps_per_cycle]
+Usage: python benchmarks/assemble_scale_demo.py [n_bins] [n_cycles] \
+           [steps_per_cycle] [chrom_bins]
 """
 
 from __future__ import annotations
@@ -20,7 +21,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(n_bins=20_000, n_cycles=5, steps_per_cycle=None):
+def main(n_bins=20_000, n_cycles=5, steps_per_cycle=None, chrom_bins=500):
     import jax
     from graal_tpu.scale import ScaleRunner
     from graal_tpu.utils.synthetic_sparse import (make_scale_genome,
@@ -29,7 +30,7 @@ def main(n_bins=20_000, n_cycles=5, steps_per_cycle=None):
                                                   simulate_sparse_contacts)
 
     params = scale_params()
-    n_contigs = max(n_bins // 500, 4)
+    n_contigs = max(n_bins // chrom_bins, 4)
     t0 = time.time()
     state, table = make_scale_genome(n_bins, n_contigs, seed=77)
     sobs = simulate_sparse_contacts(state, table, params, seed=77)
@@ -69,4 +70,5 @@ if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     c = int(sys.argv[2]) if len(sys.argv) > 2 else 5
     s = int(sys.argv[3]) if len(sys.argv) > 3 else None
-    main(n, c, s)
+    cb = int(sys.argv[4]) if len(sys.argv) > 4 else 500
+    main(n, c, s, cb)

@@ -347,7 +347,8 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
 
 
 def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
-                      sobs=None, candidate_batch: str = "auto"):
+                      sobs=None, candidate_batch: str = "auto",
+                      neighbour_batch: str = "auto"):
     """EM step with delta scoring (shift-equivalent to absolute scores: the
     selection filter is shift-invariant). Returns
     step(state, key, params, l_t, f_a, f_t) ->
@@ -357,11 +358,21 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
     callers re-anchor with a full evaluation once per cycle to stop f32
     drift (the reference recomputes the full likelihood every step,
     cuda_lib_gl.py:1828-1848).
+
+    ``neighbour_batch``: 'vmap' scores all neighbour slots in one wide
+    computation (amortises the per-op overhead of the mutation chains —
+    the measured step cost is op-count-bound, not arithmetic-bound);
+    'map' runs them sequentially (lower peak memory). 'auto' vmaps up to
+    r_max 2048.
     """
     from graal_tpu.core.mcmc import sample_neighbours, select_score_slot
 
     dscore = make_delta_scorer(table, obs, f_max, sobs=sobs,
                                candidate_batch=candidate_batch)
+    mt = build_mini_table(table)
+    r_max = min(f_max, mt.n_frags) * mt.s_max
+    if neighbour_batch == "auto":
+        neighbour_batch = "vmap" if r_max <= 2048 else "map"
 
     def step(state: GenomeState, key, params: RippeParams, l_t, f_a, f_t):
         k_nb, k_sel = jax.random.split(key)
@@ -371,7 +382,11 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
         def score_nb(fb):
             return dscore(state, f_a, fb, params, max_id)
 
-        dll, minis, rows, rows_valid, overflow = jax.lax.map(score_nb, ids)
+        if neighbour_batch == "vmap":
+            dll, minis, rows, rows_valid, overflow = jax.vmap(score_nb)(ids)
+        else:
+            dll, minis, rows, rows_valid, overflow = jax.lax.map(score_nb,
+                                                                 ids)
         m = ids.shape[0]
         slot_ok = jnp.broadcast_to(~overflow[:, None], (m, N_CANDIDATES))
 
