@@ -140,8 +140,21 @@ def scatter_mini(state: GenomeState, mini: GenomeState, rows, valid) -> GenomeSt
     return state._replace(**repl)
 
 
+def effective_band_w(band_w: int | None, table: SubFragTable,
+                     f_max: int) -> int | None:
+    """Crossover: keep the banded expected-mass decomposition only when the
+    band is at most half the mini-grid edge; otherwise the dense (R, R)
+    grid is cheaper (and needs no per-candidate lexsort), so fall back to
+    ``None``."""
+    if band_w is None:
+        return None
+    mt = build_mini_table(table)
+    r_max = min(f_max, mt.n_frags) * mt.s_max
+    return band_w if 2 * band_w <= r_max else None
+
+
 def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
-                      candidate_batch: str = "auto"):
+                      candidate_batch: str = "auto", band_w: int | None = None):
     """Build the per-neighbour delta scorer.
 
     Returns ``dscore(state, f_a, f_b, params, max_id) ->
@@ -156,6 +169,25 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
     ``candidate_batch``: 'vmap' scores all 13 candidates at once (small
     pair grids), 'map' sequentially (bounded memory at large f_max);
     'auto' switches on the pair-grid size.
+
+    ``band_w``: when set, the expected-mass term is evaluated as the
+    analytic trans mass plus a *banded* cis correction over the
+    (contig, midpoint)-sorted mini rows — O(R * band_w) transcendentals
+    instead of the O(R^2) pair grid, the same decomposition
+    core.sparse.make_sparse_loglik uses (valid because the Rippe curve is
+    exactly v_inter outside (0, d_max), kernels3.cu:120-133). The caller
+    must pick ``band_w`` covering d_max (sparse.band_width) and keep
+    nuisance d_max proposals inside the covered span. None keeps the
+    dense pair grid (small problems, and the oracle for tests).
+
+    NOTE: this function honours ``band_w`` literally (the banded-vs-grid
+    equality test relies on that). The band is only a *win* when it is
+    much narrower than the mini grid — a (R, band_w) slab plus a lexsort
+    per candidate costs more than the (R, R) grid whenever
+    band_w >~ R/2 (measured: a 64-row bucket with band_w=600 ran ~9x
+    slower than the grid). Production entries (make_delta_em_step /
+    make_delta_em_cycle / sharded cycles) apply that crossover via
+    :func:`effective_band_w`.
     """
     mt = build_mini_table(table)
     f_max = min(f_max, mt.n_frags)   # top_k cannot exceed the genome
@@ -201,8 +233,7 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
             idc=mini.id_c[owner_slot],
             act=(mini.activ[owner_slot] == 1) & sub_valid,
             circ=mini.circ[owner_slot],
-            stot=mini.l_cont_bp[owner_slot].astype(jnp.float32) / 1000.0,
-            accu=sub_accu[subs_c])
+            stot=mini.l_cont_bp[owner_slot].astype(jnp.float32) / 1000.0)
 
     row_i = jax.lax.broadcasted_iota(jnp.int32, (r_max, r_max), 0)
     col_i = jax.lax.broadcasted_iota(jnp.int32, (r_max, r_max), 1)
@@ -236,27 +267,62 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
         log_cis = jnp.where(circ_u == 1, log_circ, log_lin)
         return jnp.maximum(jnp.where(in_range, log_cis, log_v), log_v)
 
-    def e_sum(geo, params, with_circ: bool):
-        """sum_{u<v} E(u, v) over the mini pair grid."""
+    def e_sum_grid(geo, accu_sub, params, with_circ: bool):
+        """sum_{u<v} E(u, v) over the dense mini pair grid (oracle path)."""
         s = jnp.abs(geo["mid"][:, None] - geo["mid"][None, :])
         same = geo["idc"][:, None] == geo["idc"][None, :]
-        na = geo["accu"][:, None] * geo["accu"][None, :] / nfpb
+        na = accu_sub[:, None] * accu_sub[None, :] / nfpb
         log_cis = _log_cis(s, geo["circ"][:, None], geo["stot"][:, None],
                            params, with_circ)
         e = jnp.where(same, jnp.exp(log_cis), params.v_inter) * na
         mask = strict_upper & geo["act"][:, None] & geo["act"][None, :]
         return jnp.sum(jnp.where(mask, e, 0.0))
 
-    def obs_logterm(geo, u_slot, v_slot, ob_vals, pair_ok, params,
-                    with_circ: bool):
+    def e_sum_banded(geo, accu_sub, params, with_circ: bool):
+        """sum_{u<v} E(u, v) as analytic trans mass + banded cis correction.
+
+        Rippe is exactly v_inter outside (0, d_max), so only same-contig
+        pairs within d_max differ from the trans floor; sorted by
+        (contig, midpoint) those live in a band of width ``band_w``
+        (core.sparse applies the same decomposition to the full
+        likelihood). O(R * band_w) transcendentals instead of O(R^2), and
+        the (large) trans mass is bitwise identical between base and
+        candidate whenever the activity vector is unchanged — it cancels
+        exactly in the delta."""
+        a = jnp.where(geo["act"], accu_sub, 0.0)
+        sa = jnp.sum(a)
+        mass = params.v_inter * (sa * sa - jnp.sum(a * a)) * 0.5 / nfpb
+        order = jnp.lexsort((geo["mid"], geo["idc"]))
+        mid_s = geo["mid"][order]
+        idc_s = geo["idc"][order]
+        circ_s = geo["circ"][order]
+        stot_s = geo["stot"][order]
+        a_s = a[order]
+        offs = jnp.arange(1, band_w + 1, dtype=jnp.int32)
+        j = jnp.arange(r_max, dtype=jnp.int32)[:, None] + offs[None, :]
+        in_b = j < r_max
+        jc = jnp.clip(j, 0, r_max - 1)
+        s = jnp.abs(mid_s[:, None] - mid_s[jc])
+        same = (idc_s[:, None] == idc_s[jc]) & in_b
+        na = a_s[:, None] * a_s[jc] / nfpb
+        log_cis = _log_cis(s, circ_s[:, None], stot_s[:, None],
+                           params, with_circ)
+        corr = jnp.where(same,
+                         jnp.maximum(jnp.exp(log_cis) - params.v_inter, 0.0),
+                         0.0) * na
+        return mass + jnp.sum(corr)
+
+    e_sum = e_sum_banded if band_w is not None else e_sum_grid
+
+    def obs_logterm(geo, log_na_pairs, u_slot, v_slot, ob_vals, pair_ok,
+                    params, with_circ: bool):
         """sum ob * log E over matched observed pairs (no exp at all)."""
         s = jnp.abs(geo["mid"][u_slot] - geo["mid"][v_slot])
         same = geo["idc"][u_slot] == geo["idc"][v_slot]
-        log_na = jnp.log(geo["accu"][u_slot]) + jnp.log(geo["accu"][v_slot]) \
-            - jnp.log(nfpb)
         log_cis = _log_cis(s, geo["circ"][u_slot], geo["stot"][u_slot],
                            params, with_circ)
-        log_e = jnp.where(same, log_cis, jnp.log(params.v_inter)) + log_na
+        log_e = jnp.where(same, log_cis, jnp.log(params.v_inter)) \
+            + log_na_pairs
         ok = pair_ok & geo["act"][u_slot] & geo["act"][v_slot]
         return jnp.sum(jnp.where(ok, ob_vals * log_e, 0.0))
 
@@ -300,7 +366,14 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
 
     obs_weight = 0.5 if use_window else 1.0
 
-    def dscore(state: GenomeState, f_a, f_b, params: RippeParams, max_id):
+    def dscore_spec(state: GenomeState, f_a, f_b, params: RippeParams,
+                    max_id, with_circ: bool):
+        """Circ-specialised scorer: ``with_circ`` is a PYTHON bool, so only
+        one branch is traced. Callers that batch dscore (vmap over
+        neighbours) must hoist the circular/linear decision above the batch
+        axis themselves — under vmap a lax.cond lowers to a select that
+        computes BOTH branches, doubling the whole scoring cost (measured:
+        benchmarks/bisect_delta.py)."""
         rows, valid, overflow = extract_rows(state, f_a, f_b, f_max)
         mini = gather_mini(state, rows, valid)
         lf_a = jnp.argmax(rows == f_a).astype(jnp.int32)
@@ -314,41 +387,51 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
         subs_c = jnp.clip(subs, 0, k_subs - 1)
         u_slot, v_slot, ob_vals, pair_ok = obs_pairs(subs, sub_valid)
 
+        # accu is static per sub row — hoist it (and its logs) out of the
+        # per-candidate scoring so no transcendental depends on it there
+        accu_sub = sub_accu[subs_c]
+        log_accu = jnp.log(accu_sub)
+        log_na_pairs = log_accu[u_slot] + log_accu[v_slot] - jnp.log(nfpb)
+
         geo_base = geometry(mini, subs_c, sub_valid, owner_slot)
 
-        # circular contigs are rare (paste can circularise); pay the
-        # circular-variant transcendentals only when D actually has one
-        any_circ = jnp.any((mini.circ == 1) & valid) | \
-            jnp.any(cands.circ == 1)
+        base_score = obs_weight * obs_logterm(
+            geo_base, log_na_pairs, u_slot, v_slot, ob_vals, pair_ok, params,
+            with_circ) - e_sum(geo_base, accu_sub, params, with_circ)
 
-        def score_all(with_circ: bool):
-            def run(_):
-                base_score = obs_weight * obs_logterm(
-                    geo_base, u_slot, v_slot, ob_vals, pair_ok, params,
-                    with_circ) - e_sum(geo_base, params, with_circ)
+        def one(cand):
+            geo = geometry(cand, subs_c, sub_valid, owner_slot)
+            w = obs_weight * obs_logterm(
+                geo, log_na_pairs, u_slot, v_slot, ob_vals, pair_ok, params,
+                with_circ)
+            return w - e_sum(geo, accu_sub, params, with_circ) - base_score
 
-                def one(cand):
-                    geo = geometry(cand, subs_c, sub_valid, owner_slot)
-                    w = obs_weight * obs_logterm(
-                        geo, u_slot, v_slot, ob_vals, pair_ok, params,
-                        with_circ)
-                    return w - e_sum(geo, params, with_circ) - base_score
-
-                if candidate_batch == "vmap":
-                    return jax.vmap(one)(cands)
-                return jax.lax.map(one, cands)
-            return run
-
-        dll = jax.lax.cond(any_circ, score_all(True), score_all(False),
-                           operand=None)
+        if candidate_batch == "vmap":
+            dll = jax.vmap(one)(cands)
+        else:
+            dll = jax.lax.map(one, cands)
         return dll, cands, rows, valid, overflow
 
+    def dscore(state: GenomeState, f_a, f_b, params: RippeParams, max_id):
+        # circular contigs are rare (paste can circularise); pay the
+        # circular-variant transcendentals only when D actually has one
+        any_circ = jnp.any(state.id_c[f_b] == state.id_c[f_a]) | \
+            jnp.any(state.circ == 1)
+
+        def run(with_circ):
+            return lambda _: dscore_spec(state, f_a, f_b, params, max_id,
+                                         with_circ)
+
+        return jax.lax.cond(any_circ, run(True), run(False), operand=None)
+
+    dscore.spec = dscore_spec
     return dscore
 
 
 def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
                       sobs=None, candidate_batch: str = "auto",
-                      neighbour_batch: str = "auto"):
+                      neighbour_batch: str = "auto",
+                      band_w: int | None = None):
     """EM step with delta scoring (shift-equivalent to absolute scores: the
     selection filter is shift-invariant). Returns
     step(state, key, params, l_t, f_a, f_t) ->
@@ -368,7 +451,8 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
     from graal_tpu.core.mcmc import sample_neighbours, select_score_slot
 
     dscore = make_delta_scorer(table, obs, f_max, sobs=sobs,
-                               candidate_batch=candidate_batch)
+                               candidate_batch=candidate_batch,
+                               band_w=effective_band_w(band_w, table, f_max))
     mt = build_mini_table(table)
     r_max = min(f_max, mt.n_frags) * mt.s_max
     if neighbour_batch == "auto":
@@ -379,14 +463,29 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
         ids, valid = sample_neighbours(k_nb, f_a, state, nb, delta)
         max_id = jnp.max(state.id_c)
 
-        def score_nb(fb):
-            return dscore(state, f_a, fb, params, max_id)
+        # The circular/linear specialisation is hoisted ABOVE the neighbour
+        # batch: one cond around the whole vmapped scoring (inside the vmap
+        # it would lower to a select computing both branches). Sound
+        # predicate: candidates only circularise via paste when fA and a
+        # neighbour share a contig (ops.paste same-contig branch), or when
+        # a circular contig already exists (pop_out/pop_in preserve or
+        # linearise but never create circ otherwise).
+        any_circ = jnp.any(state.circ == 1) | \
+            jnp.any(state.id_c[ids] == state.id_c[f_a])
 
-        if neighbour_batch == "vmap":
-            dll, minis, rows, rows_valid, overflow = jax.vmap(score_nb)(ids)
-        else:
-            dll, minis, rows, rows_valid, overflow = jax.lax.map(score_nb,
-                                                                 ids)
+        def score_branch(with_circ):
+            def run(_):
+                def score_nb(fb):
+                    return dscore.spec(state, f_a, fb, params, max_id,
+                                       with_circ)
+
+                if neighbour_batch == "vmap":
+                    return jax.vmap(score_nb)(ids)
+                return jax.lax.map(score_nb, ids)
+            return run
+
+        dll, minis, rows, rows_valid, overflow = jax.lax.cond(
+            any_circ, score_branch(True), score_branch(False), operand=None)
         m = ids.shape[0]
         slot_ok = jnp.broadcast_to(~overflow[:, None], (m, N_CANDIDATES))
 
@@ -417,7 +516,8 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
 
 def make_delta_em_cycle(table: SubFragTable, obs, nb, delta: int, f_max: int,
                         sobs=None, anchor_fn=None,
-                        candidate_batch: str = "auto"):
+                        candidate_batch: str = "auto",
+                        band_w: int | None = None):
     """Full delta-scored EM cycle as a lax.scan, with a final full
     re-anchoring of the likelihood.
 
@@ -429,7 +529,7 @@ def make_delta_em_cycle(table: SubFragTable, obs, nb, delta: int, f_max: int,
     from graal_tpu.core.likelihood import log_likelihood
 
     step = make_delta_em_step(table, obs, nb, delta, f_max, sobs=sobs,
-                              candidate_batch=candidate_batch)
+                              candidate_batch=candidate_batch, band_w=band_w)
     if anchor_fn is False:
         def anchor_fn(state, params, l_t=None):
             return l_t

@@ -239,7 +239,8 @@ def make_sharded_em_step(mesh: Mesh, table: SubFragTable, obs,
 
 
 def make_sharded_delta_cycle(mesh: Mesh, table: SubFragTable, nb,
-                             delta: int, f_max: int, obs=None, sobs=None):
+                             delta: int, f_max: int, obs=None, sobs=None,
+                             band_w: int | None = None):
     """Chains-sharded chr1-scale cycle: every chain runs the mini-state
     delta EM scan on its own device(s); observed contacts are read through
     ``sobs`` (sparse CSR windows, replicated — the sparse triplets are
@@ -254,7 +255,7 @@ def make_sharded_delta_cycle(mesh: Mesh, table: SubFragTable, nb,
     from graal_tpu.core import delta as delta_mod
 
     step = delta_mod.make_delta_em_step(table, obs, nb, delta, f_max,
-                                        sobs=sobs)
+                                        sobs=sobs, band_w=band_w)
 
     def one_chain(state, key, params, order, l_t, f_t):
         def body(carry, f_a):

@@ -105,7 +105,7 @@ class ScaleRunner:
         if (f_max, delta) not in self._cycles:
             self._cycles[(f_max, delta)] = delta_mod.make_delta_em_cycle(
                 self.table, None, self.nb, delta=delta, f_max=f_max,
-                sobs=self.sobs, anchor_fn=False)
+                sobs=self.sobs, anchor_fn=False, band_w=self.w)
         return self._cycles[(f_max, delta)]
 
     def nuisance_step(self):

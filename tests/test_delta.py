@@ -76,6 +76,56 @@ def test_delta_matches_on_circular_contig(problem):
     np.testing.assert_allclose(np.asarray(dll), want, rtol=1e-3, atol=0.3)
 
 
+def test_banded_esum_matches_grid(problem):
+    """The banded expected-mass decomposition (analytic trans mass + sorted
+    cis band) must agree with the dense pair-grid oracle — including on
+    circularised contigs — and with the full-likelihood difference."""
+    from graal_tpu.core import sparse as sparse_mod
+
+    state, table, params, obs = problem
+    w = sparse_mod.band_width(np.asarray(table.len_kb), float(params.d_max))
+    d_grid = _dscore(problem, f_max=16)
+    d_band = _dscore(problem, f_max=16, band_w=w)
+    l0 = float(likelihood.log_likelihood(state, table, obs, params))
+    max_id = jnp.max(state.id_c)
+    rng = np.random.default_rng(3)
+    n = state.n_frags
+    for trial in range(4):
+        f_a, f_b = int(rng.integers(n)), int(rng.integers(n))
+        dll_g = np.asarray(d_grid(state, jnp.int32(f_a), jnp.int32(f_b),
+                                  params, max_id)[0])
+        dll_b = np.asarray(d_band(state, jnp.int32(f_a), jnp.int32(f_b),
+                                  params, max_id)[0])
+        np.testing.assert_allclose(dll_b, dll_g, rtol=1e-3, atol=0.05,
+                                   err_msg=f"trial {trial}")
+        cands = build_candidates(state, f_a, f_b)
+        want = np.asarray(full_scores(cands, table, obs, params)) - l0
+        np.testing.assert_allclose(dll_b, want, rtol=1e-3, atol=0.3)
+
+    # circularised contig: the banded path must keep the circular variant
+    in0 = np.asarray(state.id_c) == 0
+    circ = np.asarray(state.circ).copy()
+    circ[in0] = 1
+    state_c = state._replace(circ=jnp.asarray(circ, jnp.int32))
+    f_a = int(np.nonzero(in0)[0][1])
+    f_b = int(np.nonzero(~in0)[0][0])
+    dll_g = np.asarray(d_grid(state_c, jnp.int32(f_a), jnp.int32(f_b),
+                              params, max_id)[0])
+    dll_b = np.asarray(d_band(state_c, jnp.int32(f_a), jnp.int32(f_b),
+                              params, max_id)[0])
+    np.testing.assert_allclose(dll_b, dll_g, rtol=1e-3, atol=0.05)
+
+
+def test_effective_band_w_crossover(problem):
+    """Production entries must drop the band when it is not much narrower
+    than the mini grid (a wide band costs more than the dense grid)."""
+    state, table, params, obs = problem
+    # r_max = f_max * s_max = 16 * 3 = 48: band 16 kept, band 600 dropped
+    assert delta.effective_band_w(16, table, 16) == 16
+    assert delta.effective_band_w(600, table, 16) is None
+    assert delta.effective_band_w(None, table, 16) is None
+
+
 def test_mini_commit_equals_full_candidates(problem):
     """Scattering the selected mini-candidate back into the full state must
     reproduce build_candidates applied to the full state, for every op."""
