@@ -39,8 +39,10 @@ uses sorted-search gathers, never device scatters (TPU scatters
 serialise). The factorial term of the pmf cancels in the difference, so
 no log-factorials are evaluated at all.
 
-Repeat-free geometry only (active repeat toggling changes whole rows of the
-data grid; the repeat path keeps full scoring).
+This module scores repeat-free geometry (copy rows == data rows); the
+copy-expanded case, where an observed count's expectation sums over repeat
+copies, lives in :mod:`graal_tpu.core.delta_repeats` and is routed to
+automatically by :func:`make_delta_em_step`.
 """
 
 from __future__ import annotations
@@ -66,10 +68,18 @@ class MiniTable(NamedTuple):
     n_frags: int
 
 
-def build_mini_table(table: SubFragTable) -> MiniTable:
+def build_mini_table(table: SubFragTable,
+                     allow_repeats: bool = False) -> MiniTable:
     """Host-side: per-fragment sub ranges (owner rows are built in fragment
-    order by build_sub_frag_table, so ranges are contiguous)."""
-    assert not table.has_repeats, "delta scoring requires repeat-free tables"
+    order by build_sub_frag_table, so ranges are contiguous).
+
+    ``allow_repeats``: repeat tables are valid here too (owner rows stay
+    contiguous per copy-fragment); the flag is an explicit opt-in because
+    only the repeat-aware scorer (core.delta_repeats) handles the data-grid
+    copy aggregation — the plain scorer would silently mis-score."""
+    assert allow_repeats or not table.has_repeats, \
+        "plain delta scoring requires repeat-free tables " \
+        "(use core.delta_repeats for copy-expanded tables)"
     owner = np.asarray(table.owner)
     assert np.all(np.diff(owner) >= 0), "owner rows must be sorted"
     n_frags = int(owner.max()) + 1 if len(owner) else 0
@@ -140,6 +150,35 @@ def scatter_mini(state: GenomeState, mini: GenomeState, rows, valid) -> GenomeSt
     return state._replace(**repl)
 
 
+def _log_cis(s, circ_u, stot_u, params, with_circ: bool):
+    """log of the clamped cis expectation (the Pallas kernel's
+    log-space formulation: ~2 transcendentals instead of ~6); the
+    circular variant is compiled out when ``with_circ`` is False —
+    dscore switches on a runtime any-circular-in-D flag."""
+    log_v = jnp.log(params.v_inter)
+    safe_s = jnp.maximum(s, 1e-9)
+    log_s = jnp.log(safe_s)
+    n_lin = safe_s * (params.lm / params.kuhn)
+    log_lin = jnp.log(params.c1 * params.fact) + params.slope * log_s \
+        + (params.d - 2.0) / (n_lin * n_lin + params.d)
+    in_range = (s > 0.0) & (s < params.d_max)
+    if not with_circ:
+        return jnp.maximum(jnp.where(in_range, log_lin, log_v), log_v)
+    lk = params.lm / params.kuhn
+    log_k3fact = jnp.log(jnp.power(params.kuhn, -3.0) * params.fact)
+    log_norm_circ = log_k3fact + params.slope * jnp.log(lk) \
+        + (params.d - 2.0) / (lk * lk + params.d)
+    n_circ = lk * safe_s * jnp.maximum(stot_u - s, 1e-9) \
+        / jnp.maximum(stot_u, 1e-9)
+    log_val_circ = log_k3fact + params.slope * jnp.log(n_circ) \
+        + (params.d - 2.0) / (n_circ * n_circ + params.d)
+    log_norm_lin = jnp.maximum(jnp.where(in_range, log_lin, log_v),
+                               log_v)
+    log_circ = log_val_circ + log_norm_lin - log_norm_circ
+    log_cis = jnp.where(circ_u == 1, log_circ, log_lin)
+    return jnp.maximum(jnp.where(in_range, log_cis, log_v), log_v)
+
+
 def effective_band_w(band_w: int | None, table: SubFragTable,
                      f_max: int) -> int | None:
     """Crossover: keep the banded expected-mass decomposition only when the
@@ -148,7 +187,7 @@ def effective_band_w(band_w: int | None, table: SubFragTable,
     ``None``."""
     if band_w is None:
         return None
-    mt = build_mini_table(table)
+    mt = build_mini_table(table, allow_repeats=True)
     r_max = min(f_max, mt.n_frags) * mt.s_max
     return band_w if 2 * band_w <= r_max else None
 
@@ -238,34 +277,6 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
     row_i = jax.lax.broadcasted_iota(jnp.int32, (r_max, r_max), 0)
     col_i = jax.lax.broadcasted_iota(jnp.int32, (r_max, r_max), 1)
     strict_upper = col_i > row_i
-
-    def _log_cis(s, circ_u, stot_u, params, with_circ: bool):
-        """log of the clamped cis expectation (the Pallas kernel's
-        log-space formulation: ~2 transcendentals instead of ~6); the
-        circular variant is compiled out when ``with_circ`` is False —
-        dscore switches on a runtime any-circular-in-D flag."""
-        log_v = jnp.log(params.v_inter)
-        safe_s = jnp.maximum(s, 1e-9)
-        log_s = jnp.log(safe_s)
-        n_lin = safe_s * (params.lm / params.kuhn)
-        log_lin = jnp.log(params.c1 * params.fact) + params.slope * log_s \
-            + (params.d - 2.0) / (n_lin * n_lin + params.d)
-        in_range = (s > 0.0) & (s < params.d_max)
-        if not with_circ:
-            return jnp.maximum(jnp.where(in_range, log_lin, log_v), log_v)
-        lk = params.lm / params.kuhn
-        log_k3fact = jnp.log(jnp.power(params.kuhn, -3.0) * params.fact)
-        log_norm_circ = log_k3fact + params.slope * jnp.log(lk) \
-            + (params.d - 2.0) / (lk * lk + params.d)
-        n_circ = lk * safe_s * jnp.maximum(stot_u - s, 1e-9) \
-            / jnp.maximum(stot_u, 1e-9)
-        log_val_circ = log_k3fact + params.slope * jnp.log(n_circ) \
-            + (params.d - 2.0) / (n_circ * n_circ + params.d)
-        log_norm_lin = jnp.maximum(jnp.where(in_range, log_lin, log_v),
-                                   log_v)
-        log_circ = log_val_circ + log_norm_lin - log_norm_circ
-        log_cis = jnp.where(circ_u == 1, log_circ, log_lin)
-        return jnp.maximum(jnp.where(in_range, log_cis, log_v), log_v)
 
     def e_sum_grid(geo, accu_sub, params, with_circ: bool):
         """sum_{u<v} E(u, v) over the dense mini pair grid (oracle path)."""
@@ -450,10 +461,22 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
     """
     from graal_tpu.core.mcmc import sample_neighbours, select_score_slot
 
-    dscore = make_delta_scorer(table, obs, f_max, sobs=sobs,
-                               candidate_batch=candidate_batch,
-                               band_w=effective_band_w(band_w, table, f_max))
-    mt = build_mini_table(table)
+    if table.has_repeats:
+        # copy-expanded tables route to the repeat-aware scorer (data-grid
+        # copy aggregation); band decomposition does not apply there
+        from graal_tpu.core import delta_repeats
+        from graal_tpu.core import sparse as sparse_mod
+
+        sobs_eff = sobs if sobs is not None \
+            else sparse_mod.sparse_from_dense(obs)
+        dscore = delta_repeats.make_repeat_delta_scorer(
+            table, f_max, sobs_eff,
+            candidate_batch="map" if candidate_batch == "map" else "vmap")
+    else:
+        dscore = make_delta_scorer(
+            table, obs, f_max, sobs=sobs, candidate_batch=candidate_batch,
+            band_w=effective_band_w(band_w, table, f_max))
+    mt = build_mini_table(table, allow_repeats=True)
     r_max = min(f_max, mt.n_frags) * mt.s_max
     if neighbour_batch == "auto":
         neighbour_batch = "vmap" if r_max <= 2048 else "map"

@@ -1,0 +1,309 @@
+"""Incremental (delta) candidate scoring for repeat (copy-expanded) tables.
+
+The plain delta engine (core.delta) scores on copy pairs directly: without
+repeats, copy rows ARE data rows, so the Poisson term of a pair is a closed
+form of the two rows' geometry and everything outside the affected contigs
+cancels. With repeated bins that breaks down: the observed count lives on
+the *data* grid, and its expectation is a SUM over active copy pairs
+(dispatcher loop, kernels3.cu:2895-2929) —
+
+    E_data(s, t) = sum_{u in copies(s), v in copies(t)} E(u, v)
+
+so the log term needs the full sum, including copies that live in contigs
+the mutation never touches.  This module keeps the O(|D|^2)-style locality
+anyway, by splitting each affected observed pair into:
+
+- copies owned by the affected contigs D  -> candidate mini-state geometry
+  (changes per candidate),
+- copies owned by any other contig        -> base-state geometry (frozen
+  across all candidates — a mutation only relabels fragments inside D,
+  core/delta.py module docstring).
+
+Every copy of every data bin touched by D is enumerated through a static
+bin -> copy-rows CSR (the dispatcher table, simulation_loader.py:258-277),
+so each observed window entry costs a c_max x c_max block of copy pairs
+(c_max = max copies per bin; 1 without repeats, small with them).
+
+The expected-mass term stays pairwise-decomposable even with repeats
+(sum over data pairs == sum over copy pairs, minus the data-grid diagonal,
+which the likelihood excludes): it is the mini pair grid with same-data-bin
+pairs masked out, plus an analytic trans cross-term against the rest of the
+genome that is non-zero only when a candidate toggles copy *activity*
+(swap_activity) — the one mutation whose effect is not confined to D x D.
+
+Gather-only throughout (no device scatters), same contract as
+core.delta.make_delta_scorer: dll is exactly
+log_likelihood(candidate) - log_likelihood(base) whenever overflow is
+False.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from graal_tpu.core.candidates import build_candidates
+from graal_tpu.core.delta import (_log_cis, build_mini_table, extract_rows,
+                                  gather_mini)
+from graal_tpu.core.model import (_STIRLING_LIM, RippeParams,
+                                  _log_factorial_ref)
+from graal_tpu.core.state import GenomeState
+from graal_tpu.core.subfrags import SubFragTable
+
+
+class CopyTable(NamedTuple):
+    """Static data-bin -> copy-sub-rows CSR (the dispatcher direction —
+    the reference keeps collector/dispatcher int2 arrays,
+    simulation_loader.py:258-277)."""
+
+    copy_start: jnp.ndarray   # (S + 1,) int32 indptr over data bins
+    copy_rows: jnp.ndarray    # (K,) int32 sub rows sorted by data_id
+    c_max: int                # max copies of any data bin
+
+
+def build_copy_table(table: SubFragTable) -> CopyTable:
+    data_id = np.asarray(table.data_id)
+    s_dim = table.n_data_sub
+    order = np.argsort(data_id, kind="stable")
+    counts = np.bincount(data_id, minlength=s_dim)
+    start = np.concatenate([[0], np.cumsum(counts)])
+    return CopyTable(
+        copy_start=jnp.asarray(start, jnp.int32),
+        copy_rows=jnp.asarray(order, jnp.int32),
+        c_max=int(counts.max()) if len(counts) else 1)
+
+
+def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
+                             candidate_batch: str = "vmap"):
+    """Repeat-aware delta scorer over CSR windows of the data grid.
+
+    ``sobs``: core.sparse.SparseObs on the data grid (dense callers convert
+    via sparse.sparse_from_dense — the repeat path is window-only).
+
+    Returns the same ``(dscore, dscore.spec)`` contract as
+    core.delta.make_delta_scorer.
+    """
+    mt = build_mini_table(table, allow_repeats=True)
+    ct = build_copy_table(table)
+    f_max = min(f_max, mt.n_frags)
+    s_max = mt.s_max
+    r_max = f_max * s_max
+    c_max = ct.c_max
+    k_subs = table.n_subs
+    s_dim = table.n_data_sub
+    cap = sobs.row_cap
+    nnz = sobs.cols.shape[0]
+    nfpb = jnp.float32(table.n_frags_per_bins)
+
+    sub_len = table.len_kb
+    sub_pre = table.prefix_kb
+    sub_suf = table.suffix_kb
+    sub_accu = table.accu
+    owner = table.owner
+    data_id = table.data_id
+
+    # global active accu mass (per-step O(K) reduce; the swap_activity
+    # trans cross-term needs the genome total)
+    def total_active_accu(state: GenomeState):
+        return jnp.sum(sub_accu * (state.activ[owner] == 1))
+
+    def sub_rows_of(rows, valid):
+        start = mt.sub_start[rows]
+        count = mt.sub_count[rows]
+        slot = jnp.arange(s_max, dtype=jnp.int32)[None, :]
+        subs = start[:, None] + slot
+        sub_valid = valid[:, None] & (slot < count[:, None])
+        owner_slot = jnp.broadcast_to(
+            jnp.arange(rows.shape[0], dtype=jnp.int32)[:, None], subs.shape)
+        return (subs.reshape(-1), sub_valid.reshape(-1),
+                owner_slot.reshape(-1))
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (r_max, r_max), 0)
+    col_i = jax.lax.broadcasted_iota(jnp.int32, (r_max, r_max), 1)
+    strict_upper = col_i > row_i
+
+    def copy_slots(krows, vrows, n):
+        """Candidate-independent routing of arbitrary copy rows ``krows``:
+        owner fragment, membership in D (sorted search over the ascending
+        valid prefix of ``vrows``), and the mini slot when inside."""
+        g = owner[krows]
+        pos = jnp.searchsorted(vrows, g)
+        pos_c = jnp.clip(pos, 0, vrows.shape[0] - 1)
+        in_d = vrows[pos_c] == g
+        return g, in_d, pos_c
+
+    _FIELDS = ("start_bp", "ori", "id_c", "circ", "l_cont_bp", "activ")
+
+    def base_fields(state, g):
+        return {f: getattr(state, f)[g] for f in _FIELDS}
+
+    def routed_geometry(cand, base, in_d, slot, krows):
+        """Geometry of copy rows under a candidate mini-state: mini fields
+        where the owner is in D, frozen base-state fields elsewhere."""
+        fld = {f: jnp.where(in_d, getattr(cand, f)[slot], base[f])
+               for f in _FIELDS}
+        start_kb = fld["start_bp"].astype(jnp.float32) / 1000.0
+        mid = start_kb + jnp.where(fld["ori"] == 1, sub_pre[krows],
+                                   sub_suf[krows]) + sub_len[krows] * 0.5
+        return dict(
+            mid=mid, idc=fld["id_c"], circ=fld["circ"],
+            stot=fld["l_cont_bp"].astype(jnp.float32) / 1000.0,
+            a=jnp.where(fld["activ"] == 1, sub_accu[krows], 0.0))
+
+    def pair_e(gu, gv, ok, params, with_circ):
+        """Linear expected contacts of copy pairs (broadcast shapes)."""
+        s = jnp.abs(gu["mid"] - gv["mid"])
+        same = gu["idc"] == gv["idc"]
+        log_cis = _log_cis(s, gu["circ"], gu["stot"], params, with_circ)
+        e = jnp.where(same, jnp.exp(log_cis), params.v_inter) \
+            * gu["a"] * gv["a"] / nfpb
+        return jnp.where(ok, e, 0.0)
+
+    def dscore_spec(state: GenomeState, f_a, f_b, params: RippeParams,
+                    max_id, with_circ: bool):
+        n = state.n_frags
+        rows, valid, overflow = extract_rows(state, f_a, f_b, f_max)
+        mini = gather_mini(state, rows, valid)
+        lf_a = jnp.argmax(rows == f_a).astype(jnp.int32)
+        lf_b = jnp.argmax(rows == f_b).astype(jnp.int32)
+        cands = build_candidates(mini, lf_a, lf_b, max_id=max_id)
+
+        subs, sub_valid, owner_slot = sub_rows_of(rows, valid)
+        subs_c = jnp.clip(subs, 0, k_subs - 1)
+        db = data_id[subs_c]                                   # (R,)
+        vrows = jnp.where(valid, rows, n)
+
+        # ---- observed windows over the DISTINCT data bins of D ----------
+        key = jnp.where(sub_valid, db,
+                        s_dim + 1 + jnp.arange(r_max, dtype=jnp.int32))
+        order = jnp.argsort(key)
+        sk = key[order]
+        p_first = jnp.clip(jnp.searchsorted(sk, key), 0, r_max - 1)
+        first = order[p_first] == jnp.arange(r_max, dtype=jnp.int32)
+
+        db_c = jnp.clip(db, 0, s_dim - 1)
+        w_start = sobs.row_start[db_c]
+        w_end = sobs.row_start[db_c + 1]
+        win = w_start[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
+        win_valid = (win < w_end[:, None]) & (sub_valid & first)[:, None]
+        win = jnp.clip(win, 0, nnz - 1)
+        t_bin = sobs.cols[win]                                 # (R, cap)
+        ob = sobs.vals[win]
+        # log(ob!) (reference branch split, kernels3.cu:80-93 / :169-210):
+        # cancels in the delta while E stays > 0 on both sides, but when a
+        # candidate drives E_data to 0 (all copies deactivated) the
+        # reference drops the WHOLE pmf term including the factorial — so
+        # the factorial must ride inside the E > 0 indicator.
+        safe_ob = jnp.where(ob > 0.0, ob, 1.0)
+        lf_big = safe_ob * jnp.log(safe_ob) - safe_ob \
+            + 0.5 * jnp.log(safe_ob * 2.0 * np.pi)
+        lf = jnp.where(ob >= _STIRLING_LIM, lf_big,
+                       jnp.where(ob > 0.0, _log_factorial_ref(safe_ob), 0.0))
+        # each in-D..in-D pair appears from both rows -> weight 0.5; a pair
+        # with t outside data(D) appears once -> weight 1
+        p_t = jnp.clip(jnp.searchsorted(sk, t_bin), 0, r_max - 1)
+        t_in_d = sk[p_t] == t_bin
+        weight = jnp.where(t_in_d, 0.5, 1.0)
+        win_valid = win_valid & (t_bin != db[:, None])
+
+        # ---- copy enumeration (static CSR) ------------------------------
+        ci = jnp.arange(c_max, dtype=jnp.int32)
+        u0 = ct.copy_start[db_c]
+        u_rows = ct.copy_rows[jnp.clip(u0[:, None] + ci[None, :],
+                                       0, k_subs - 1)]          # (R, c)
+        u_ok = ci[None, :] < (ct.copy_start[db_c + 1] - u0)[:, None]
+        t_c = jnp.clip(t_bin, 0, s_dim - 1)
+        v0 = ct.copy_start[t_c]
+        v_rows = ct.copy_rows[jnp.clip(v0[:, :, None] + ci[None, None, :],
+                                       0, k_subs - 1)]          # (R, cap, c)
+        v_ok = ci[None, None, :] < (ct.copy_start[t_c + 1] - v0)[:, :, None]
+
+        u_g, u_in, u_slot = copy_slots(u_rows, vrows, n)
+        v_g, v_in, v_slot = copy_slots(v_rows, vrows, n)
+        u_base = base_fields(state, u_g)
+        v_base = base_fields(state, v_g)
+
+        # mini-row geometry slots for the mass grid
+        mini_rows = subs_c
+
+        def mini_geometry(cand):
+            start_kb = cand.start_bp[owner_slot].astype(jnp.float32) / 1000.0
+            ori = cand.ori[owner_slot]
+            mid = start_kb + jnp.where(ori == 1, sub_pre[mini_rows],
+                                       sub_suf[mini_rows]) \
+                + sub_len[mini_rows] * 0.5
+            return dict(
+                mid=mid, idc=cand.id_c[owner_slot],
+                circ=cand.circ[owner_slot],
+                stot=cand.l_cont_bp[owner_slot].astype(jnp.float32) / 1000.0,
+                a=jnp.where((cand.activ[owner_slot] == 1) & sub_valid,
+                            sub_accu[mini_rows], 0.0))
+
+        def obs_term(cand):
+            gu = routed_geometry(cand, u_base, u_in, u_slot, u_rows)
+            gv = routed_geometry(cand, v_base, v_in, v_slot, v_rows)
+            gu4 = {k: x[:, None, :, None] for k, x in gu.items()}
+            gv4 = {k: x[:, :, None, :] for k, x in gv.items()}
+            ok4 = u_ok[:, None, :, None] & v_ok[:, :, None, :]
+            e = pair_e(gu4, gv4, ok4, params, with_circ)
+            e_data = jnp.sum(e, axis=(2, 3))                   # (R, cap)
+            term = ob * jnp.log(jnp.where(e_data > 0.0, e_data, 1.0)) - lf
+            term = jnp.where(e_data > 0.0, term, 0.0)
+            return jnp.sum(jnp.where(win_valid, weight * term, 0.0))
+
+        def mass_grid(cand):
+            g = mini_geometry(cand)
+            gu = {k: x[:, None] for k, x in g.items()}
+            gv = {k: x[None, :] for k, x in g.items()}
+            ok = strict_upper & sub_valid[:, None] & sub_valid[None, :] \
+                & (db[:, None] != db[None, :])
+            return jnp.sum(pair_e(gu, gv, ok, params, with_circ))
+
+        w_all = total_active_accu(state)
+
+        # active outside copies of each mini row's own data bin (excluded
+        # from the trans cross-term: same-bin pairs feed the data-grid
+        # diagonal, which the likelihood masks out)
+        ub_act = jnp.where((u_base["activ"] == 1) & u_ok & ~u_in,
+                           sub_accu[u_rows], 0.0)
+        o_same = jnp.sum(ub_act, axis=1)                       # (R,)
+
+        def a_of(cand):
+            return jnp.where((cand.activ[owner_slot] == 1) & sub_valid,
+                             sub_accu[mini_rows], 0.0)
+
+        a_base = a_of(mini)
+        w_d = jnp.sum(a_base)
+        w_out = w_all - w_d
+
+        obs_base = obs_term(mini)
+        mass_base = mass_grid(mini)
+
+        def one(cand):
+            d_obs = obs_term(cand) - obs_base
+            d_mass = mass_grid(cand) - mass_base
+            cross = params.v_inter / nfpb * jnp.sum(
+                (a_of(cand) - a_base) * (w_out - o_same))
+            return d_obs - d_mass - cross
+
+        if candidate_batch == "vmap":
+            dll = jax.vmap(one)(cands)
+        else:
+            dll = jax.lax.map(one, cands)
+        return dll, cands, rows, valid, overflow
+
+    def dscore(state: GenomeState, f_a, f_b, params: RippeParams, max_id):
+        any_circ = jnp.any(state.id_c[f_b] == state.id_c[f_a]) | \
+            jnp.any(state.circ == 1)
+
+        def run(with_circ):
+            return lambda _: dscore_spec(state, f_a, f_b, params, max_id,
+                                         with_circ)
+
+        return jax.lax.cond(any_circ, run(True), run(False), operand=None)
+
+    dscore.spec = dscore_spec
+    return dscore
