@@ -25,7 +25,9 @@ band of the genome-sorted sub order (offsets 1..w), with ``w`` chosen from
 the sub-fragment lengths so that any d_max window is covered.
 
 Cost per full evaluation: O(nnz + K log K + K * w) — linear-ish in the
-genome, no K^2 anywhere. Repeat-free geometry only.
+genome, no K^2 anywhere. Copy-expanded (repeat) tables evaluate the same
+decomposition with c_max x c_max copy blocks per observed entry
+(:func:`_make_sparse_loglik_repeats`).
 """
 
 from __future__ import annotations
@@ -132,11 +134,14 @@ def genome_sort_order(state: GenomeState, table: SubFragTable):
     return jnp.lexsort((mid, state.id_c[table.owner])), mid
 
 
-def make_sparse_loglik(table: SubFragTable, sobs: SparseObs, w: int):
+def make_sparse_loglik(table: SubFragTable, sobs: SparseObs, w: int,
+                       obs_chunk: int = 1 << 18):
     """Build ``fn(state, params) -> scalar`` — the full Poisson
     log-likelihood, sparse/banded, exactly matching the dense
-    core.likelihood.log_likelihood on repeat-free geometry."""
-    assert not table.has_repeats, "sparse likelihood requires repeat-free tables"
+    core.likelihood.log_likelihood. Copy-expanded (repeat) tables route to
+    the copy-summing variant."""
+    if table.has_repeats:
+        return _make_sparse_loglik_repeats(table, sobs, w, obs_chunk)
     k = table.n_subs
     assert sobs.n == k
     owner = table.owner
@@ -185,6 +190,125 @@ def make_sparse_loglik(table: SubFragTable, sobs: SparseObs, w: int):
 
         cis_corr = jax.lax.fori_loop(1, w + 1, body, jnp.float32(0.0))
         return term1 - (trans_mass + cis_corr) + jnp.float32(sobs.logfact_const)
+
+    return fn
+
+
+def _make_sparse_loglik_repeats(table: SubFragTable, sobs: SparseObs,
+                                w: int, obs_chunk: int):
+    """Copy-expanded sparse likelihood: the expectation of an observed data
+    pair sums over active copy pairs (dispatcher loop,
+    kernels3.cu:2895-2929), evaluated as c_max x c_max blocks per nnz entry
+    in bounded chunks; the expected mass stays pairwise over copy rows
+    (analytic trans + banded cis) with same-data-bin pairs excluded — they
+    feed the data-grid diagonal, which the likelihood masks out.
+
+    The global logfact constant is replaced by a per-entry factorial inside
+    the E > 0 indicator: with repeats a candidate state can legitimately
+    drive a pair's expectation to zero (every copy inactive), where the
+    reference drops the whole pmf term (kernels3.cu:169-210).
+    """
+    from graal_tpu.core.delta_repeats import build_copy_table
+    from graal_tpu.core.model import _STIRLING_LIM, _log_factorial_ref
+
+    ct = build_copy_table(table)
+    k = table.n_subs
+    s_dim = table.n_data_sub
+    assert sobs.n == s_dim
+    owner = table.owner
+    accu = table.accu
+    data_id = table.data_id
+    nfpb = jnp.float32(table.n_frags_per_bins)
+    c_max = ct.c_max
+    ci = jnp.arange(c_max, dtype=jnp.int32)
+
+    def copies_of(bins):
+        b0 = ct.copy_start[bins]
+        rows = ct.copy_rows[jnp.clip(b0[:, None] + ci[None, :], 0, k - 1)]
+        ok = ci[None, :] < (ct.copy_start[bins + 1] - b0)[:, None]
+        return rows, ok
+
+    # static per-entry copy blocks + log-factorials, padded to whole chunks
+    nnz = int(sobs.cols.shape[0])
+    n_chunks = max(1, -(-nnz // obs_chunk))
+    pad = n_chunks * obs_chunk - nnz
+
+    def padc(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)]) \
+            .reshape((n_chunks, obs_chunk) + x.shape[1:])
+
+    u_rows_c, u_ok_c = copies_of(sobs.rows)
+    v_rows_c, v_ok_c = copies_of(sobs.cols)
+    u_rows_c, v_rows_c = padc(u_rows_c, 0), padc(v_rows_c, 0)
+    u_ok_c, v_ok_c = padc(u_ok_c, False), padc(v_ok_c, False)
+    vals_c = padc(sobs.vals, 0.0)
+
+    ob = sobs.vals
+    safe_ob = jnp.where(ob > 0.0, ob, 1.0)
+    lf_big = safe_ob * jnp.log(safe_ob) - safe_ob \
+        + 0.5 * jnp.log(safe_ob * 2.0 * np.pi)
+    lf = jnp.where(ob >= _STIRLING_LIM, lf_big,
+                   jnp.where(ob > 0.0, _log_factorial_ref(safe_ob), 0.0))
+    lf_c = padc(lf, 0.0)
+
+    def fn(state: GenomeState, params: RippeParams):
+        order, mid = genome_sort_order(state, table)
+        idc = state.id_c[owner]
+        circ = state.circ[owner]
+        stot = state.l_cont_bp[owner].astype(jnp.float32) / 1000.0
+        a = jnp.where(state.activ[owner] == 1, accu, 0.0)
+
+        # ---- term1: observed pairs, copy-summed, chunked ----
+        def chunk_term(args):
+            u_r, u_k, v_r, v_k, vals, lfs = args
+            s = jnp.abs(mid[u_r][:, :, None] - mid[v_r][:, None, :])
+            same = idc[u_r][:, :, None] == idc[v_r][:, None, :]
+            na = a[u_r][:, :, None] * a[v_r][:, None, :] / nfpb
+            e = expected_contacts(s, same, (circ[u_r] == 1)[:, :, None],
+                                  stot[u_r][:, :, None], na, params)
+            ok = u_k[:, :, None] & v_k[:, None, :]
+            e_data = jnp.sum(jnp.where(ok, e, 0.0), axis=(1, 2))
+            term = vals * jnp.log(jnp.where(e_data > 0.0, e_data, 1.0)) - lfs
+            return jnp.sum(jnp.where(e_data > 0.0, term, 0.0))
+
+        term1 = 0.5 * jnp.sum(jax.lax.map(
+            chunk_term, (u_rows_c, u_ok_c, v_rows_c, v_ok_c, vals_c, lf_c)))
+
+        # ---- term2a: analytic trans mass, same-bin pairs excluded ----
+        a_sum = jnp.sum(a)
+        a_sq = jnp.sum(a * a)
+        bins_all = jnp.arange(s_dim, dtype=jnp.int32)
+        b_rows, b_ok = copies_of(bins_all)
+        b_sums = jnp.sum(jnp.where(b_ok, a[b_rows], 0.0), axis=1)
+        same_bin = (jnp.sum(b_sums * b_sums) - a_sq) * 0.5
+        trans_mass = params.v_inter / nfpb * \
+            ((a_sum * a_sum - a_sq) * 0.5 - same_bin)
+
+        # ---- term2b: banded cis correction, same-bin pairs excluded ----
+        mid_s = mid[order]
+        idc_s = idc[order]
+        circ_s = circ[order]
+        stot_s = stot[order]
+        a_s = a[order]
+        db_s = data_id[order]
+
+        def body(off, acc):
+            mid_v = jnp.roll(mid_s, -off)
+            idc_v = jnp.roll(idc_s, -off)
+            a_v = jnp.roll(a_s, -off)
+            db_v = jnp.roll(db_s, -off)
+            valid = jnp.arange(k) < (k - off)
+            s = jnp.abs(mid_s - mid_v)
+            same = (idc_s == idc_v) & valid & (db_s != db_v)
+            na = a_s * a_v / nfpb
+            e_cis = expected_contacts(s, same, circ_s == 1, stot_s, na,
+                                      params)
+            corr = jnp.where(same, e_cis - params.v_inter * na, 0.0)
+            return acc + jnp.sum(corr)
+
+        cis_corr = jax.lax.fori_loop(1, w + 1, body, jnp.float32(0.0))
+        return term1 - (trans_mass + cis_corr)
 
     return fn
 

@@ -382,7 +382,8 @@ class Runner:
                 print(f"resumed from {ckpt_path} at cycle {start_cycle}",
                       flush=True)
         l_t = anchor(state, params)
-        s_max = delta_mod.build_mini_table(self.table).s_max
+        s_max = delta_mod.build_mini_table(self.table,
+                                           allow_repeats=True).s_max
         n = state.n_frags
         cycles = {}
         collected = {k: [] for k in ("likelihood", "n_contigs", "overflow",

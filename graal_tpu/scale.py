@@ -41,8 +41,9 @@ def _next_pow2(x: int) -> int:
 def max_contig_subs(state: GenomeState, table: SubFragTable) -> int:
     """Largest contig size measured in sub-fragments (host, O(n log n))."""
     id_c = np.asarray(state.id_c)
-    counts = np.asarray(delta_mod.build_mini_table(table).sub_count,
-                        np.float64)
+    counts = np.asarray(
+        delta_mod.build_mini_table(table, allow_repeats=True).sub_count,
+        np.float64)
     _, inv = np.unique(id_c, return_inverse=True)
     return int(np.bincount(inv, weights=counts).max())
 
@@ -59,7 +60,10 @@ class ScaleRunner:
 
     def __init__(self, table: SubFragTable, sobs: sparse.SparseObs,
                  params: RippeParams, nb: mcmc.NeighbourTable | None = None,
-                 band_margin: float = 2.0):
+                 band_margin: float = 2.0, id_d=None):
+        """``id_d``: data bin of each copy-fragment — required for repeat
+        (copy-expanded) tables so the neighbour/dispatcher tables map
+        fragments to data rows; identity when omitted (repeat-free)."""
         import scipy.sparse as sp
 
         self.table = table
@@ -67,11 +71,15 @@ class ScaleRunner:
         self.params = params
         if nb is None:
             n = sobs.n
+            if id_d is None:
+                assert not table.has_repeats, \
+                    "repeat tables need id_d for the neighbour tables"
+                id_d = np.arange(n)
             m = sp.coo_matrix(
                 (np.asarray(sobs.vals),
                  (np.asarray(sobs.rows), np.asarray(sobs.cols))),
                 shape=(n, n)).tocsr()
-            nb = mcmc.build_neighbour_table(m, np.arange(n), n)
+            nb = mcmc.build_neighbour_table(m, np.asarray(id_d), len(id_d))
         self.nb = nb
         self.w = sparse.band_width(np.asarray(table.len_kb),
                                    float(params.d_max), margin=band_margin)
@@ -150,7 +158,8 @@ class ScaleRunner:
         params = self.params
         anchor = self.anchor_fn()
         l_t = anchor(state, params)
-        s_max = delta_mod.build_mini_table(self.table).s_max
+        s_max = delta_mod.build_mini_table(self.table,
+                                           allow_repeats=True).s_max
 
         dist_ref = None
         if init_truth is not None:
@@ -162,7 +171,8 @@ class ScaleRunner:
             inx = np.where(inx != -1, id_d[np.clip(inx, 0, None)], -1)
             # single-sub bins carry no orientation signal -> unorientable
             orientable = np.asarray(
-                delta_mod.build_mini_table(self.table).sub_count) > 1
+                delta_mod.build_mini_table(
+                    self.table, allow_repeats=True).sub_count) > 1
             dist_ref = (ip, inx, np.asarray(init_truth.ori),
                         orientable, np.zeros(n, bool))
 

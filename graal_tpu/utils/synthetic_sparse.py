@@ -131,6 +131,44 @@ def simulate_sparse_contacts(state: GenomeState, table: SubFragTable,
     return sparse_from_coo(rows, cols, vals, k)
 
 
+def add_scale_repeats(state: GenomeState, table: SubFragTable, dup_bins):
+    """Append repeat copies of ``dup_bins`` as fresh singleton contigs
+    (modify_vect_frags semantics, simulation_loader.py:182-256) and rebuild
+    the one-sub-per-bin table copy-expanded. Returns (state, table, id_d)."""
+    import jax.numpy as jnp
+
+    s = state.to_numpy()
+    n = len(s["pos"])
+    soa = {k: list(v) for k, v in s.items()}
+    max_c = int(s["id_c"].max()) + 1
+    for i, b in enumerate(dup_bins):
+        soa["pos"].append(0)
+        soa["id_c"].append(max_c + i)
+        soa["start_bp"].append(0)
+        soa["len_bp"].append(int(s["len_bp"][b]))
+        soa["circ"].append(0)
+        soa["l_cont"].append(1)
+        soa["l_cont_bp"].append(int(s["len_bp"][b]))
+        soa["ori"].append(1)
+        soa["rep"].append(1)
+        soa["activ"].append(1)
+        soa["id_d"].append(int(b))
+    for b in dup_bins:
+        soa["rep"][b] = 1
+    soa = {k: np.asarray(v) for k, v in soa.items()}
+    id_d = soa["id_d"]
+    n_frags = len(id_d)
+    table2 = SubFragTable(
+        owner=jnp.arange(n_frags, dtype=jnp.int32),
+        data_id=jnp.asarray(id_d, jnp.int32),
+        len_kb=jnp.asarray(np.asarray(table.len_kb)[id_d], jnp.float32),
+        accu=jnp.ones(n_frags, jnp.float32),
+        prefix_kb=jnp.zeros(n_frags, jnp.float32),
+        suffix_kb=jnp.zeros(n_frags, jnp.float32),
+        n_data_sub=n, n_frags_per_bins=1.0, has_repeats=True)
+    return GenomeState.from_soa(soa), table2, id_d
+
+
 def shuffle_genome(state: GenomeState, n_pieces: int, seed: int = 0):
     """Scramble the ground truth into ``n_pieces`` random contigs of
     shuffled, randomly oriented chunks — a realistic draft-assembly start

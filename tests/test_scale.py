@@ -93,3 +93,23 @@ def test_scale_nuisance_sampling():
     assert np.isfinite(metrics["likelihood"][-1])
     assert float(out_params.fact) > 0
     assert float(out_params.v_inter) > 0
+
+
+def test_scale_runner_with_repeats():
+    """Chr1-scale machinery end to end on a copy-expanded table: delta
+    scoring routes to the repeat scorer, the sparse anchor copy-sums, and
+    assembly still climbs from a shuffled start."""
+    from graal_tpu.core.state import check_invariants
+    from graal_tpu.utils.synthetic_sparse import add_scale_repeats
+
+    params = scale_params()
+    base, base_table = make_scale_genome(200, 4, seed=41)
+    sobs = simulate_sparse_contacts(base, base_table, params, seed=41)
+    state, table, id_d = add_scale_repeats(base, base_table, (11, 60, 150))
+    runner = ScaleRunner(table, sobs, params, id_d=id_d)
+    shuf = shuffle_genome(state, 12, seed=42)
+    ll_shuf = float(runner.anchor_fn()(shuf, params))
+    final, _, metrics = runner.run(shuf, n_cycles=2, f_max_min=32,
+                                   seed=7, progress=False)
+    check_invariants(final)
+    assert metrics["likelihood"][-1] > ll_shuf

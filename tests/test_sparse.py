@@ -135,3 +135,41 @@ def test_sparse_from_coo_symmetrises():
         want[rr, cc] += vv
         want[cc, rr] += vv
     np.testing.assert_array_equal(dense, want)
+
+
+def test_sparse_loglik_repeats_matches_dense():
+    """Copy-expanded sparse likelihood == the dense scatter-add path, on
+    as-is / deactivated-copy / relocated / circularised repeat genomes."""
+    from graal_tpu.utils.synthetic_sparse import (add_scale_repeats,
+                                                  make_scale_genome,
+                                                  scale_params,
+                                                  shuffle_genome,
+                                                  simulate_sparse_contacts)
+
+    params = scale_params()
+    base, base_table = make_scale_genome(160, 4, seed=5)
+    sobs = simulate_sparse_contacts(base, base_table, params, seed=5)
+    state, table, id_d = add_scale_repeats(base, base_table, (7, 40, 90))
+    w = sparse.band_width(np.asarray(table.len_kb), float(params.d_max))
+    fn = jax.jit(sparse.make_sparse_loglik(table, sobs, w, obs_chunk=1024))
+
+    obs_dense = np.zeros((160, 160), np.float32)
+    obs_dense[np.asarray(sobs.rows), np.asarray(sobs.cols)] = \
+        np.asarray(sobs.vals)
+
+    n = state.n_frags
+    deact = state._replace(activ=jnp.asarray(
+        np.where(np.arange(n) == n - 1, 0, np.asarray(state.activ)),
+        jnp.int32))
+    moved = shuffle_genome(state, 12, seed=6)
+    circ_v = np.asarray(state.circ).copy()
+    circ_v[np.asarray(state.id_c) == 0] = 1
+    circd = state._replace(circ=jnp.asarray(circ_v, jnp.int32))
+    for name, st in [("asis", state), ("deact", deact), ("moved", moved),
+                     ("circ", circd)]:
+        got = float(fn(st, params))
+        want = float(likelihood.log_likelihood(st, table,
+                                               jnp.asarray(obs_dense),
+                                               params))
+        assert abs(got - want) < max(2.0, 1e-4 * abs(want)), \
+            (name, got, want)
