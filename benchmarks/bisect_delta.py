@@ -28,24 +28,31 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def timed_scan(fn, n_iter, *args):
     """Run fn as the body of a lax.scan n_iter times inside ONE jit; return
-    seconds per iteration (compile excluded)."""
+    seconds per iteration (compile excluded).
+
+    Every call carries a fresh ``salt`` scalar folded into the carry so no
+    two executions have identical inputs — the tunnelled device transport
+    may serve repeated identical executions from a cache, which made
+    earlier micro numbers absurdly fast (sub-dispatch "0.01 ms" grids)."""
     import jax
     import jax.numpy as jnp
 
     @jax.jit
-    def run(args):
+    def run(salt, args):
         def body(carry, i):
             out = fn(i, *args)
             return carry + out, None
-        tot, _ = jax.lax.scan(body, jnp.float32(0.0),
+        tot, _ = jax.lax.scan(body, salt,
                               jnp.arange(n_iter, dtype=jnp.int32))
         return tot
 
-    out = jax.block_until_ready(run(args))   # compile + first run
-    t0 = time.time()
-    out = jax.block_until_ready(run(args))
-    dt = (time.time() - t0) / n_iter
-    return dt, float(out)
+    out = jax.block_until_ready(run(jnp.float32(0.125), args))   # compile
+    best = float("inf")
+    for rep in range(3):   # min-of-3: tunnel dispatch latency varies 2-3x
+        t0 = time.time()
+        out = jax.block_until_ready(run(jnp.float32(0.25 + rep), args))
+        best = min(best, (time.time() - t0) / n_iter)
+    return best, float(out)
 
 
 def main(n_bins=20_000, f_max=512, iters=64):
@@ -68,8 +75,18 @@ def main(n_bins=20_000, f_max=512, iters=64):
     nb = runner.nb
 
     band_w = runner.w
+    # NOTE: band_w honoured literally here (no crossover clamp) — stage C
+    # with a band wider than the grid is the *pessimised* path; stage D
+    # (the real step) clamps. Ablated scorers isolate term costs.
     dscore = dm.make_delta_scorer(table, None, f_max, sobs=sobs,
                                   band_w=band_w)
+    d_grid = dm.make_delta_scorer(table, None, f_max, sobs=sobs)
+    d_no_obs = dm.make_delta_scorer(table, None, f_max, sobs=sobs,
+                                    _ablate="obs")
+    d_no_esum = dm.make_delta_scorer(table, None, f_max, sobs=sobs,
+                                     _ablate="esum")
+    d_no_win = dm.make_delta_scorer(table, None, f_max, sobs=sobs,
+                                    _ablate="windows")
     step = dm.make_delta_em_step(table, None, nb, delta=4, f_max=f_max,
                                  sobs=sobs, band_w=band_w)
     print(f"band_w={band_w} row_cap={sobs.row_cap}", flush=True)
@@ -125,9 +142,27 @@ def main(n_bins=20_000, f_max=512, iters=64):
             st, k, params, jnp.float32(0.0), frag_ids[i], jnp.float32(1.0))
         return l_new + jnp.sum(new_state.pos).astype(jnp.float32)
 
+    def make_score_stage(sc):
+        def stage(i, st):
+            f_a = frag_ids[i]
+            max_id = jnp.max(st.id_c)
+
+            def one(fb):
+                dll, cands, rows, valid, over = sc.spec(
+                    st, f_a, fb, params, max_id, False)
+                return jnp.sum(dll)
+
+            return jnp.sum(jax.vmap(one)(nb_ids[i])).astype(jnp.float32)
+        return stage
+
     results = {}
     for name, fn in [("A_gather", stage_a), ("B_candidates", stage_b),
-                     ("C_score", stage_c), ("D_step", stage_d)]:
+                     ("C_score", stage_c),
+                     ("Cg_grid", make_score_stage(d_grid)),
+                     ("Cn_no_obs", make_score_stage(d_no_obs)),
+                     ("Cn_no_esum", make_score_stage(d_no_esum)),
+                     ("Cn_no_windows", make_score_stage(d_no_win)),
+                     ("D_step", stage_d)]:
         dt, chk = timed_scan(fn, iters, shuf)
         results[name + "_ms"] = round(dt * 1000, 2)
         print(f"{name}: {dt * 1000:.2f} ms/iter", flush=True)

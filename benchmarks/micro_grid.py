@@ -27,21 +27,26 @@ def bench(fn, *args, iters=20):
     import jax.numpy as jnp
 
     @jax.jit
-    def run(args):
+    def run(salt, args):
         def body(carry, i):
             # fold the loop index in so XLA cannot hoist the body
             # (x + i, not x + i*0 — the latter simplifies away and lets
             # XLA hoist the whole body out of the scan)
             out = fn(*jax.tree.map(lambda x: x + i.astype(x.dtype), args))
             return carry + out, None
-        tot, _ = jax.lax.scan(body, jnp.float32(0.0),
+        tot, _ = jax.lax.scan(body, salt,
                               jnp.arange(iters, dtype=jnp.int32))
         return tot
 
-    out = jax.block_until_ready(run(args))
-    t0 = time.time()
-    out = jax.block_until_ready(run(args))
-    return (time.time() - t0) / iters, out
+    # fresh salt per call: the tunnelled transport can serve a repeated
+    # identical execution from a cache; min-of-3 rides out relay variance
+    out = jax.block_until_ready(run(jnp.float32(0.125), args))
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.time()
+        out = jax.block_until_ready(run(jnp.float32(0.25 + rep), args))
+        best = min(best, (time.time() - t0) / iters)
+    return best, out
 
 
 def main(r=512, batch=65, cap=83):

@@ -33,11 +33,15 @@ scores); callers grow f_max between cycles as contigs coalesce, exactly
 like the reference's l_cont-proportional workload sizing.
 
 TPU notes: the log-pmf observation term is evaluated ONLY on observed
-pairs — dense (R, R) gathers when a dense matrix exists, CSR windows with
-searchsorted membership at chr1 scale — and every membership/write-back
-uses sorted-search gathers, never device scatters (TPU scatters
-serialise). The factorial term of the pmf cancels in the difference, so
-no log-factorials are evaluated at all.
+pairs — dense (R, R) gathers when a dense matrix exists, CSR windows at
+chr1 scale. Membership/write-back maps use *small inverse-map scatters*
+(r_max elements) + one gather round: TPU scatters serialise, but an
+r_max-element scatter is microseconds, while the sorted-search
+alternative costs log2(r_max) serial gather rounds over every query —
+measured as the single largest stage of the chr1-scale step (device
+trace: 17 of 45 ms in searchsorted's while-loop). The factorial term of
+the pmf cancels in the difference, so no log-factorials are evaluated
+at all.
 
 This module scores repeat-free geometry (copy rows == data rows); the
 copy-expanded case, where an observed count's expectation sums over repeat
@@ -138,11 +142,15 @@ def scatter_mini(state: GenomeState, mini: GenomeState, rows, valid) -> GenomeSt
 
     n = state.n_frags
     f_max = rows.shape[0]
-    vrows = jnp.where(valid, rows, n)      # ascending prefix, then n
-    all_idx = jnp.arange(n, dtype=jnp.int32)
-    pos = jnp.searchsorted(vrows, all_idx)
-    pos_c = jnp.clip(pos, 0, f_max - 1)
-    in_d = vrows[pos_c] == all_idx
+    # inverse slot map via an f_max-element scatter (padding rows target
+    # index n -> dropped). A sorted search here costs log2(f_max) serial
+    # gather rounds over all n fragments (the searchsorted while-loop
+    # dominated the step in device traces); the scatter is tiny.
+    vrows = jnp.where(valid, rows, n)
+    inv = jnp.full((n,), -1, jnp.int32).at[vrows].set(
+        jnp.arange(f_max, dtype=jnp.int32), mode="drop")
+    in_d = inv >= 0
+    pos_c = jnp.maximum(inv, 0)
     repl = {}
     for f in MUTABLE_FIELDS:
         repl[f] = jnp.where(in_d, getattr(mini, f)[pos_c],
@@ -193,7 +201,8 @@ def effective_band_w(band_w: int | None, table: SubFragTable,
 
 
 def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
-                      candidate_batch: str = "auto", band_w: int | None = None):
+                      candidate_batch: str = "auto", band_w: int | None = None,
+                      _ablate: str | None = None):
     """Build the per-neighbour delta scorer.
 
     Returns ``dscore(state, f_a, f_b, params, max_id) ->
@@ -274,20 +283,8 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
             circ=mini.circ[owner_slot],
             stot=mini.l_cont_bp[owner_slot].astype(jnp.float32) / 1000.0)
 
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (r_max, r_max), 0)
-    col_i = jax.lax.broadcasted_iota(jnp.int32, (r_max, r_max), 1)
-    strict_upper = col_i > row_i
-
-    def e_sum_grid(geo, accu_sub, params, with_circ: bool):
-        """sum_{u<v} E(u, v) over the dense mini pair grid (oracle path)."""
-        s = jnp.abs(geo["mid"][:, None] - geo["mid"][None, :])
-        same = geo["idc"][:, None] == geo["idc"][None, :]
-        na = accu_sub[:, None] * accu_sub[None, :] / nfpb
-        log_cis = _log_cis(s, geo["circ"][:, None], geo["stot"][:, None],
-                           params, with_circ)
-        e = jnp.where(same, jnp.exp(log_cis), params.v_inter) * na
-        mask = strict_upper & geo["act"][:, None] & geo["act"][None, :]
-        return jnp.sum(jnp.where(mask, e, 0.0))
+    strict_upper = jax.lax.broadcasted_iota(jnp.int32, (r_max, r_max), 1) \
+        > jax.lax.broadcasted_iota(jnp.int32, (r_max, r_max), 0)
 
     def e_sum_banded(geo, accu_sub, params, with_circ: bool):
         """sum_{u<v} E(u, v) as analytic trans mass + banded cis correction.
@@ -323,30 +320,31 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
                          0.0) * na
         return mass + jnp.sum(corr)
 
-    e_sum = e_sum_banded if band_w is not None else e_sum_grid
-
-    def obs_logterm(geo, log_na_pairs, u_slot, v_slot, ob_vals, pair_ok,
-                    params, with_circ: bool):
-        """sum ob * log E over matched observed pairs (no exp at all)."""
-        s = jnp.abs(geo["mid"][u_slot] - geo["mid"][v_slot])
-        same = geo["idc"][u_slot] == geo["idc"][v_slot]
-        log_cis = _log_cis(s, geo["circ"][u_slot], geo["stot"][u_slot],
-                           params, with_circ)
-        log_e = jnp.where(same, log_cis, jnp.log(params.v_inter)) \
-            + log_na_pairs
-        ok = pair_ok & geo["act"][u_slot] & geo["act"][v_slot]
-        return jnp.sum(jnp.where(ok, ob_vals * log_e, 0.0))
+    use_banded = band_w is not None
 
     if use_window:
         cap = sobs.row_cap
         nnz = sobs.cols.shape[0]
+        # (col, val) packed per nnz entry so ONE gather fetches both (the
+        # gather cost is per row fetched, not per element). NOTE: vmapped
+        # dynamic_slice looks tempting for the contiguous CSR runs but
+        # lowers to a SERIAL while-loop of per-row slices on TPU — 3x
+        # slower than the flat gather (measured via device trace).
+        packed = jnp.stack(
+            [jax.lax.bitcast_convert_type(sobs.cols, jnp.float32),
+             sobs.vals], axis=1)                               # (nnz, 2)
 
-        def obs_pairs(subs, sub_valid):
-            """CSR windows of the D rows + membership slots (gather-only).
+        def obs_grid(subs, sub_valid):
+            """(R, R) weighted observed-count matrix of the D sub rows.
 
-            Returns (u_slot (R,cap), v_slot, vals, pair_ok) with every
-            observed pair (u in D, v in D) appearing exactly twice
-            (symmetric storage) -> callers weight by 0.5.
+            CSR windows are read once per neighbour and SCATTERED into a
+            dense mini matrix (an R*cap-element scatter, candidate
+            independent) so per-candidate scoring is a pure elementwise
+            grid contraction with ZERO gathers — device traces showed the
+            per-candidate (R, cap) window gathers were ~17.6 of an 18.8 ms
+            scorer while the transcendental grids were ~1 ms. Symmetric
+            storage puts each in-D pair in both orientations -> weight 0.5
+            folded into the scatter.
             """
             rc = jnp.clip(subs, 0, k_subs - 1)
             start = sobs.row_start[rc]
@@ -354,28 +352,63 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
             win = start[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
             win_valid = (win < end[:, None]) & sub_valid[:, None]
             win = jnp.clip(win, 0, nnz - 1)
-            cols = sobs.cols[win]
-            vals = sobs.vals[win]
-            # membership: sorted-search over the D sub rows
-            key = jnp.where(sub_valid, subs,
-                            k_subs + 1 + jnp.arange(r_max, dtype=jnp.int32))
-            order = jnp.argsort(key)
-            skey = key[order]
-            pos = jnp.clip(jnp.searchsorted(skey, cols), 0, r_max - 1)
-            found = (skey[pos] == cols) & win_valid
-            v_slot = order[pos]
-            u_slot = jnp.broadcast_to(
+            pk = packed[win]                                   # (R, cap, 2)
+            cols = jax.lax.bitcast_convert_type(pk[..., 0], jnp.int32)
+            vals = pk[..., 1]
+            # membership: inverse slot map via an r_max-element scatter
+            # (invalid slots target index k_subs -> dropped) + one direct
+            # gather round (a sorted search costs log2(r_max) SERIAL
+            # gather rounds over R*cap queries — 17 ms/step in traces)
+            scat = jnp.where(sub_valid, subs, k_subs)
+            inv = jnp.full((k_subs,), -1, jnp.int32).at[scat].set(
+                jnp.arange(r_max, dtype=jnp.int32), mode="drop")
+            v_slot = inv[cols]
+            row_slot = jnp.broadcast_to(
                 jnp.arange(r_max, dtype=jnp.int32)[:, None], cols.shape)
-            return u_slot, v_slot, vals, found
+            # keep one orientation only (weight 1.0): halves the
+            # serialised scatter-add traffic vs scattering both symmetric
+            # copies at weight 0.5
+            found = (v_slot > row_slot) & win_valid
+            return jnp.zeros((r_max, r_max), jnp.float32).at[
+                row_slot, jnp.maximum(v_slot, 0)].add(
+                jnp.where(found, vals, 0.0))
     else:
-        def obs_pairs(subs, sub_valid):
-            """Dense path: all (R, R) pairs, observed counts gathered."""
+        def obs_grid(subs, sub_valid):
+            """Dense path: gather the (R, R) block, strict upper only."""
             sub_c = jnp.clip(subs, 0, k_subs - 1)
             ob = obs_j[sub_c[:, None], sub_c[None, :]]
             pair_ok = strict_upper & sub_valid[:, None] & sub_valid[None, :]
-            return row_i, col_i, ob, pair_ok
+            return jnp.where(pair_ok, ob, 0.0)
 
-    obs_weight = 0.5 if use_window else 1.0
+    # benchmark-only kill switches (benchmarks/bisect_delta.py): attribute
+    # step cost by zeroing one term; NEVER set in product paths
+    if _ablate == "windows":
+        def obs_grid(subs, sub_valid):                 # noqa: F811
+            return jnp.zeros((r_max, r_max), jnp.float32)
+
+    def grid_terms(geo, accu_sub, log_na_grid, ob, params, with_circ: bool):
+        """ONE (R, R) elementwise pass: the observed log term and (unless
+        the banded mass path is active) the expected mass, sharing the
+        log_cis grid."""
+        s = jnp.abs(geo["mid"][:, None] - geo["mid"][None, :])
+        same = geo["idc"][:, None] == geo["idc"][None, :]
+        log_cis = _log_cis(s, geo["circ"][:, None], geo["stot"][:, None],
+                           params, with_circ)
+        act = geo["act"][:, None] & geo["act"][None, :]
+        if _ablate == "obs":
+            w = jnp.float32(0.0)
+        else:
+            log_e = jnp.where(same, log_cis, jnp.log(params.v_inter)) \
+                + log_na_grid
+            w = jnp.sum(jnp.where(act, ob * log_e, 0.0))
+        if use_banded or _ablate == "esum":
+            es = jnp.float32(0.0) if _ablate == "esum" else \
+                e_sum_banded(geo, accu_sub, params, with_circ)
+        else:
+            na = accu_sub[:, None] * accu_sub[None, :] / nfpb
+            e = jnp.where(same, jnp.exp(log_cis), params.v_inter) * na
+            es = jnp.sum(jnp.where(strict_upper & act, e, 0.0))
+        return w - es
 
     def dscore_spec(state: GenomeState, f_a, f_b, params: RippeParams,
                     max_id, with_circ: bool):
@@ -396,26 +429,22 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
 
         subs, sub_valid, owner_slot = sub_rows_of(rows, valid)
         subs_c = jnp.clip(subs, 0, k_subs - 1)
-        u_slot, v_slot, ob_vals, pair_ok = obs_pairs(subs, sub_valid)
+        ob = obs_grid(subs, sub_valid)
 
-        # accu is static per sub row — hoist it (and its logs) out of the
-        # per-candidate scoring so no transcendental depends on it there
+        # accu is static per sub row — hoist it (and its log outer grid)
+        # out of the per-candidate scoring
         accu_sub = sub_accu[subs_c]
         log_accu = jnp.log(accu_sub)
-        log_na_pairs = log_accu[u_slot] + log_accu[v_slot] - jnp.log(nfpb)
+        log_na_grid = log_accu[:, None] + log_accu[None, :] - jnp.log(nfpb)
 
         geo_base = geometry(mini, subs_c, sub_valid, owner_slot)
-
-        base_score = obs_weight * obs_logterm(
-            geo_base, log_na_pairs, u_slot, v_slot, ob_vals, pair_ok, params,
-            with_circ) - e_sum(geo_base, accu_sub, params, with_circ)
+        base_score = grid_terms(geo_base, accu_sub, log_na_grid, ob, params,
+                                with_circ)
 
         def one(cand):
             geo = geometry(cand, subs_c, sub_valid, owner_slot)
-            w = obs_weight * obs_logterm(
-                geo, log_na_pairs, u_slot, v_slot, ob_vals, pair_ok, params,
-                with_circ)
-            return w - e_sum(geo, accu_sub, params, with_circ) - base_score
+            return grid_terms(geo, accu_sub, log_na_grid, ob, params,
+                              with_circ) - base_score
 
         if candidate_batch == "vmap":
             dll = jax.vmap(one)(cands)

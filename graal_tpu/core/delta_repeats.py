@@ -97,6 +97,12 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
     cap = sobs.row_cap
     nnz = sobs.cols.shape[0]
     nfpb = jnp.float32(table.n_frags_per_bins)
+    # (col, val) packed so one gather fetches both (see core.delta — and
+    # do NOT use vmapped dynamic_slice here: it lowers to a serial
+    # per-row while-loop on TPU)
+    packed = jnp.stack(
+        [jax.lax.bitcast_convert_type(sobs.cols, jnp.float32),
+         sobs.vals], axis=1)
 
     sub_len = table.len_kb
     sub_pre = table.prefix_kb
@@ -125,15 +131,14 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
     col_i = jax.lax.broadcasted_iota(jnp.int32, (r_max, r_max), 1)
     strict_upper = col_i > row_i
 
-    def copy_slots(krows, vrows, n):
+    def copy_slots(krows, inv_f):
         """Candidate-independent routing of arbitrary copy rows ``krows``:
-        owner fragment, membership in D (sorted search over the ascending
-        valid prefix of ``vrows``), and the mini slot when inside."""
+        owner fragment, membership in D, and the mini slot when inside —
+        one gather round through the inverse slot map (a sorted search
+        costs log2(f_max) serial gather rounds; see core.delta)."""
         g = owner[krows]
-        pos = jnp.searchsorted(vrows, g)
-        pos_c = jnp.clip(pos, 0, vrows.shape[0] - 1)
-        in_d = vrows[pos_c] == g
-        return g, in_d, pos_c
+        slot = inv_f[g]
+        return g, slot >= 0, jnp.maximum(slot, 0)
 
     _FIELDS = ("start_bp", "ori", "id_c", "circ", "l_cont_bp", "activ")
 
@@ -175,14 +180,20 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
         subs_c = jnp.clip(subs, 0, k_subs - 1)
         db = data_id[subs_c]                                   # (R,)
         vrows = jnp.where(valid, rows, n)
+        # fragment-level inverse slot map (f_max-element scatter; padding
+        # rows target index n -> dropped)
+        inv_f = jnp.full((n,), -1, jnp.int32).at[vrows].set(
+            jnp.arange(f_max, dtype=jnp.int32), mode="drop")
 
         # ---- observed windows over the DISTINCT data bins of D ----------
-        key = jnp.where(sub_valid, db,
-                        s_dim + 1 + jnp.arange(r_max, dtype=jnp.int32))
-        order = jnp.argsort(key)
-        sk = key[order]
-        p_first = jnp.clip(jnp.searchsorted(sk, key), 0, r_max - 1)
-        first = order[p_first] == jnp.arange(r_max, dtype=jnp.int32)
+        # data-bin inverse map: nondeterministic winner among copies of the
+        # same bin is fine — any single visitor slot works for both the
+        # first-occurrence dedup and the t-membership test
+        inv_db = jnp.full((s_dim,), -1, jnp.int32).at[
+            jnp.where(sub_valid, db, s_dim)].set(
+            jnp.arange(r_max, dtype=jnp.int32), mode="drop")
+        first = inv_db[jnp.clip(db, 0, s_dim - 1)] \
+            == jnp.arange(r_max, dtype=jnp.int32)
 
         db_c = jnp.clip(db, 0, s_dim - 1)
         w_start = sobs.row_start[db_c]
@@ -190,8 +201,10 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
         win = w_start[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
         win_valid = (win < w_end[:, None]) & (sub_valid & first)[:, None]
         win = jnp.clip(win, 0, nnz - 1)
-        t_bin = sobs.cols[win]                                 # (R, cap)
-        ob = sobs.vals[win]
+        pk = packed[win]                                       # (R, cap, 2)
+        t_bin = jax.lax.bitcast_convert_type(pk[..., 0], jnp.int32)
+        ob = pk[..., 1]
+        t_in_d = inv_db[jnp.clip(t_bin, 0, s_dim - 1)] >= 0
         # log(ob!) (reference branch split, kernels3.cu:80-93 / :169-210):
         # cancels in the delta while E stays > 0 on both sides, but when a
         # candidate drives E_data to 0 (all copies deactivated) the
@@ -204,8 +217,6 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
                        jnp.where(ob > 0.0, _log_factorial_ref(safe_ob), 0.0))
         # each in-D..in-D pair appears from both rows -> weight 0.5; a pair
         # with t outside data(D) appears once -> weight 1
-        p_t = jnp.clip(jnp.searchsorted(sk, t_bin), 0, r_max - 1)
-        t_in_d = sk[p_t] == t_bin
         weight = jnp.where(t_in_d, 0.5, 1.0)
         win_valid = win_valid & (t_bin != db[:, None])
 
@@ -221,8 +232,8 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
                                        0, k_subs - 1)]          # (R, cap, c)
         v_ok = ci[None, None, :] < (ct.copy_start[t_c + 1] - v0)[:, :, None]
 
-        u_g, u_in, u_slot = copy_slots(u_rows, vrows, n)
-        v_g, v_in, v_slot = copy_slots(v_rows, vrows, n)
+        u_g, u_in, u_slot = copy_slots(u_rows, inv_f)
+        v_g, v_in, v_slot = copy_slots(v_rows, inv_f)
         u_base = base_fields(state, u_g)
         v_base = base_fields(state, v_g)
 
