@@ -63,6 +63,17 @@ def main(n_bins=100_000, f_max=1024):
     jax.block_until_ready(cur)
     dt = time.time() - t0
 
+    # on-device exactness guard: the incrementally carried likelihood must
+    # match a full sparse re-anchor (catches TPU-only numeric divergence —
+    # e.g. an MXU path silently rounding f32 operands to bf16 — that the
+    # CPU-forced test suite cannot see)
+    l_re = float(anchor(cur, params))
+    drift = abs(float(l_new) - l_re)
+    tol = max(2.0, 1e-5 * abs(l_re))
+    assert drift < tol, (
+        f"incremental likelihood drifted {drift} from the re-anchor {l_re} "
+        f"(tol {tol}) — on-device delta scoring is numerically wrong")
+
     # candidate-evals per step: 13 ops x (delta+1 neighbour slots)
     evals_per_step = 13 * 5
     print(json.dumps({
@@ -74,6 +85,7 @@ def main(n_bins=100_000, f_max=1024):
         "value": round(n_steps * evals_per_step / dt, 1),
         "unit": "candidate-genomes/s",
         "ms_per_step": round(dt / n_steps * 1000, 2),
+        "incr_vs_anchor_drift": round(drift, 3),
         "full_eval_s": round(t_anchor, 3),
         "compile_s": round(t_compile, 1),
         "anchor_compile_s": round(t_anchor_compile, 1),

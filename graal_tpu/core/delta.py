@@ -151,10 +151,13 @@ def scatter_mini(state: GenomeState, mini: GenomeState, rows, valid) -> GenomeSt
         jnp.arange(f_max, dtype=jnp.int32), mode="drop")
     in_d = inv >= 0
     pos_c = jnp.maximum(inv, 0)
-    repl = {}
-    for f in MUTABLE_FIELDS:
-        repl[f] = jnp.where(in_d, getattr(mini, f)[pos_c],
-                            getattr(state, f))
+    # all 8 mutable fields ride ONE gather (the cost is per row fetched,
+    # not per element — eight separate per-field gathers were ~1.2 ms of
+    # the 5 ms chr1-scale step in device traces)
+    mini_mat = jnp.stack([getattr(mini, f) for f in MUTABLE_FIELDS], axis=1)
+    got = mini_mat[pos_c]                                    # (n, 8)
+    repl = {f: jnp.where(in_d, got[:, k], getattr(state, f))
+            for k, f in enumerate(MUTABLE_FIELDS)}
     return state._replace(**repl)
 
 
@@ -337,14 +340,19 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
         def obs_grid(subs, sub_valid):
             """(R, R) weighted observed-count matrix of the D sub rows.
 
-            CSR windows are read once per neighbour and SCATTERED into a
-            dense mini matrix (an R*cap-element scatter, candidate
-            independent) so per-candidate scoring is a pure elementwise
-            grid contraction with ZERO gathers — device traces showed the
-            per-candidate (R, cap) window gathers were ~17.6 of an 18.8 ms
-            scorer while the transcendental grids were ~1 ms. Symmetric
-            storage puts each in-D pair in both orientations -> weight 0.5
-            folded into the scatter.
+            CSR windows are read once per neighbour and accumulated into a
+            dense mini matrix (candidate independent) so per-candidate
+            scoring is a pure elementwise grid contraction with ZERO
+            gathers — device traces showed the per-candidate (R, cap)
+            window gathers were ~17.6 of an 18.8 ms scorer while the
+            transcendental grids were ~1 ms. The accumulation itself is a
+            batched one-hot MATMUL over the column slots, not a scatter:
+            TPU scatter-adds serialise per element and were the single
+            largest stage left (~4.7 ms of a 5.9 ms scorer at R=512);
+            the fused one-hot contraction rides the MXU at 2.7x faster
+            end to end (benchmarks/micro_obgrid.py). Symmetric storage
+            puts each in-D pair in both orientations -> only the upper
+            orientation is kept (weight 1.0).
             """
             rc = jnp.clip(subs, 0, k_subs - 1)
             start = sobs.row_start[rc]
@@ -354,24 +362,25 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
             win = jnp.clip(win, 0, nnz - 1)
             pk = packed[win]                                   # (R, cap, 2)
             cols = jax.lax.bitcast_convert_type(pk[..., 0], jnp.int32)
-            vals = pk[..., 1]
-            # membership: inverse slot map via an r_max-element scatter
-            # (invalid slots target index k_subs -> dropped) + one direct
-            # gather round (a sorted search costs log2(r_max) SERIAL
-            # gather rounds over R*cap queries — 17 ms/step in traces)
-            scat = jnp.where(sub_valid, subs, k_subs)
-            inv = jnp.full((k_subs,), -1, jnp.int32).at[scat].set(
-                jnp.arange(r_max, dtype=jnp.int32), mode="drop")
-            v_slot = inv[cols]
-            row_slot = jnp.broadcast_to(
-                jnp.arange(r_max, dtype=jnp.int32)[:, None], cols.shape)
-            # keep one orientation only (weight 1.0): halves the
-            # serialised scatter-add traffic vs scattering both symmetric
-            # copies at weight 0.5
-            found = (v_slot > row_slot) & win_valid
-            return jnp.zeros((r_max, r_max), jnp.float32).at[
-                row_slot, jnp.maximum(v_slot, 0)].add(
-                jnp.where(found, vals, 0.0))
+            vals = jnp.where(win_valid, pk[..., 1], 0.0)
+            # membership IS the one-hot: compare window columns directly
+            # against the D sub rows inside the contraction — no inverse
+            # slot map at all (the r_max-scatter + inv[cols] gather was
+            # ~1.7 ms of the 5 ms step in device traces; a sorted search
+            # costs log2(r_max) SERIAL gather rounds, 17 ms). Padding
+            # slots get key -1 (no column can match); symmetric storage
+            # puts each in-D pair in both orientations, so the strict
+            # upper triangle of the result keeps exactly one.
+            key_j = jnp.where(sub_valid, subs, -1)
+            oh = cols[:, :, None] == key_j[None, None, :]
+            # vals operand at HIGHEST precision: the TPU MXU rounds DEFAULT
+            # f32 operands to bf16, which would corrupt observed counts
+            # > 256; the one-hot operand is 0/1 — exact in bf16 — so it
+            # stays at DEFAULT and costs no extra passes
+            ob = jnp.einsum("rw,rwj->rj", vals, oh.astype(jnp.float32),
+                            precision=(jax.lax.Precision.HIGHEST,
+                                       jax.lax.Precision.DEFAULT))
+            return jnp.where(strict_upper, ob, 0.0)
     else:
         def obs_grid(subs, sub_valid):
             """Dense path: gather the (R, R) block, strict upper only."""
