@@ -143,13 +143,22 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
     _FIELDS = ("start_bp", "ori", "id_c", "circ", "l_cont_bp", "activ")
 
     def base_fields(state, g):
-        return {f: getattr(state, f)[g] for f in _FIELDS}
+        """All 6 routed fields in ONE gather from the full state (the
+        gather cost is per row fetched, not per element; see core.delta)."""
+        mat = jnp.stack([getattr(state, f) for f in _FIELDS], axis=1)
+        got = mat[g]                                  # g.shape + (6,)
+        return {f: got[..., k] for k, f in enumerate(_FIELDS)}
 
     def routed_geometry(cand, base, in_d, slot, krows):
         """Geometry of copy rows under a candidate mini-state: mini fields
-        where the owner is in D, frozen base-state fields elsewhere."""
-        fld = {f: jnp.where(in_d, getattr(cand, f)[slot], base[f])
-               for f in _FIELDS}
+        where the owner is in D, frozen base-state fields elsewhere.
+        The 6 candidate fields ride one packed gather (per candidate —
+        six separate per-field gathers were the repeat path's analogue of
+        the plain scorer's write-back cost)."""
+        cand_mat = jnp.stack([getattr(cand, f) for f in _FIELDS], axis=1)
+        got = cand_mat[slot]                          # slot.shape + (6,)
+        fld = {f: jnp.where(in_d, got[..., k], base[f])
+               for k, f in enumerate(_FIELDS)}
         start_kb = fld["start_bp"].astype(jnp.float32) / 1000.0
         mid = start_kb + jnp.where(fld["ori"] == 1, sub_pre[krows],
                                    sub_suf[krows]) + sub_len[krows] * 0.5
