@@ -333,9 +333,16 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
         # dynamic_slice looks tempting for the contiguous CSR runs but
         # lowers to a SERIAL while-loop of per-row slices on TPU — 3x
         # slower than the flat gather (measured via device trace).
+        # The pack dtype must be INT32 with the float lane bitcast INTO it
+        # — never the reverse: int32 indices bitcast to f32 form
+        # denormal/NaN bit patterns that the TPU pipeline canonicalises
+        # inside fused gathers (observed: window columns silently became
+        # the row's own key, zeroing the whole obs term; f32 counts
+        # round-trip through int32 losslessly).
         packed = jnp.stack(
-            [jax.lax.bitcast_convert_type(sobs.cols, jnp.float32),
-             sobs.vals], axis=1)                               # (nnz, 2)
+            [sobs.cols,
+             jax.lax.bitcast_convert_type(sobs.vals, jnp.int32)],
+            axis=1)                                            # (nnz, 2)
 
         def obs_grid(subs, sub_valid):
             """(R, R) weighted observed-count matrix of the D sub rows.
@@ -361,8 +368,10 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
             win_valid = (win < end[:, None]) & sub_valid[:, None]
             win = jnp.clip(win, 0, nnz - 1)
             pk = packed[win]                                   # (R, cap, 2)
-            cols = jax.lax.bitcast_convert_type(pk[..., 0], jnp.int32)
-            vals = jnp.where(win_valid, pk[..., 1], 0.0)
+            cols = pk[..., 0]
+            vals = jnp.where(
+                win_valid,
+                jax.lax.bitcast_convert_type(pk[..., 1], jnp.float32), 0.0)
             # membership IS the one-hot: compare window columns directly
             # against the D sub rows inside the contraction — no inverse
             # slot map at all (the r_max-scatter + inv[cols] gather was

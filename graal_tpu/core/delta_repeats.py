@@ -99,10 +99,13 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
     nfpb = jnp.float32(table.n_frags_per_bins)
     # (col, val) packed so one gather fetches both (see core.delta — and
     # do NOT use vmapped dynamic_slice here: it lowers to a serial
-    # per-row while-loop on TPU)
+    # per-row while-loop on TPU). INT32 pack with the float lane bitcast
+    # into it, never the reverse: int32 indices bitcast to f32 are
+    # denormal/NaN bit patterns that TPU fused gathers canonicalise
+    # (core.delta obs_grid comment has the full story).
     packed = jnp.stack(
-        [jax.lax.bitcast_convert_type(sobs.cols, jnp.float32),
-         sobs.vals], axis=1)
+        [sobs.cols,
+         jax.lax.bitcast_convert_type(sobs.vals, jnp.int32)], axis=1)
 
     sub_len = table.len_kb
     sub_pre = table.prefix_kb
@@ -211,8 +214,8 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
         win_valid = (win < w_end[:, None]) & (sub_valid & first)[:, None]
         win = jnp.clip(win, 0, nnz - 1)
         pk = packed[win]                                       # (R, cap, 2)
-        t_bin = jax.lax.bitcast_convert_type(pk[..., 0], jnp.int32)
-        ob = pk[..., 1]
+        t_bin = pk[..., 0]
+        ob = jax.lax.bitcast_convert_type(pk[..., 1], jnp.float32)
         t_in_d = inv_db[jnp.clip(t_bin, 0, s_dim - 1)] >= 0
         # log(ob!) (reference branch split, kernels3.cu:80-93 / :169-210):
         # cancels in the delta while E stays > 0 on both sides, but when a
