@@ -258,14 +258,11 @@ class Runner:
         from graal_tpu.utils.checkpoint import load_checkpoint, save_checkpoint
 
         if scoring == "auto":
-            scoring = "delta" if (self.table.n_subs > 6000
-                                  and not self.table.has_repeats) else "full"
+            scoring = "delta" if self.table.n_subs > 6000 else "full"
         if scoring == "delta":
-            if self.table.has_repeats:
-                raise ValueError(
-                    "delta scoring supports repeat-free geometry only "
-                    "(repeat toggles change whole data-grid rows); use "
-                    "scoring='full'")
+            # copy-expanded tables route to the repeat-aware delta scorer
+            # inside make_delta_em_step (core.delta_repeats handles the
+            # data-grid copy aggregation)
             return self._run_em_delta(n_cycles=n_cycles, progress=progress,
                                       resume=resume,
                                       checkpoint_every=checkpoint_every)

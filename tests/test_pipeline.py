@@ -137,6 +137,11 @@ def test_repeats_pipeline_end_to_end(dataset, tmp_path):
     assembly = runner.run_em(progress=False)
     from graal_tpu.core.state import check_invariants
     check_invariants(assembly.state)
+    # delta scoring must route copy-expanded tables to the repeat-aware
+    # incremental scorer (core.delta_repeats), not reject them
+    assembly_d = runner.run_em(progress=False, scoring="delta", n_cycles=1)
+    check_invariants(assembly_d.state)
+    assert np.isfinite(assembly_d.metrics["likelihood"][-1])
 
 
 def test_sub_sampling(dataset, tmp_path):
