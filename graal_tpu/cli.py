@@ -199,6 +199,57 @@ def cmd_probe(args):
     return 0
 
 
+def cmd_scale(args):
+    """Chr1-scale sparse assembly: pyramid level -> ScaleRunner without
+    ever densifying the observed matrix (the configuration class a dense
+    S x S matrix cannot reach, ~10^12 cells at 500k sub-fragments)."""
+    import jax
+
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
+    from graal_tpu import scale as scale_mod
+    from graal_tpu.io import fasta as fasta_io
+
+    runner, state0, lev, _ = scale_mod.from_dataset(
+        args.dataset, args.size, args.factor, level=args.level,
+        max_fit_bins=args.max_fit_bins)
+    state = state0
+    if not args.no_scramble:
+        from graal_tpu.core import mcmc
+        state = jax.jit(mcmc.explode_genome)(state)
+    final, params, metrics = runner.run(
+        state, n_cycles=args.cycles, delta=args.neighbours,
+        f_max_min=args.f_max_min, f_t=args.t0,
+        sample_param=not args.no_sample_param, seed=args.seed,
+        init_truth=state0)
+    os.makedirs(args.out, exist_ok=True)
+    for name, key in (("list_likelihood", "likelihood"),
+                      ("list_n_contigs", "n_contigs"),
+                      ("list_dist_init_genome", "dist_init_genome"),
+                      ("list_overflow", "overflow"),
+                      ("list_f_max", "f_max")):
+        with open(os.path.join(args.out, f"0{name}.txt"), "w") as fh:
+            for v in metrics.get(key, []):
+                fh.write(f"{v}\n")
+    if args.fasta:
+        f = lev.frags
+        contigs = fasta_io.export_assembly(
+            final, f.chrom, f.start_pos, f.end_pos,
+            fasta_io.load_fasta(args.fasta),
+            os.path.join(args.out, "genome.fasta"),
+            os.path.join(args.out, "info_frags.txt"))
+        print(f"wrote {len(contigs)} contigs to "
+              f"{os.path.join(args.out, 'genome.fasta')}")
+    print(json.dumps({
+        "final_loglik": metrics["likelihood"][-1],
+        "n_contigs": metrics["n_contigs"][-1],
+        "dist_init_genome": (metrics["dist_init_genome"] or [None])[-1],
+        "cycle_s": metrics["cycle_s"],
+    }))
+    print(f"outputs in {args.out}")
+    return 0
+
+
 def cmd_replay(args):
     """Re-apply a recorded mutation log (replay_simu, main_gl.py:140-207)."""
     import jax
@@ -258,6 +309,28 @@ def main(argv=None):
     p.add_argument("fragment", type=int)
     _add_run_opts(p)
     p.set_defaults(fn=cmd_probe)
+
+    p = sub.add_parser("scale", help="chr1-scale sparse assembly "
+                                     "(never densifies the contact matrix)")
+    p.add_argument("dataset")
+    p.add_argument("--fasta", default="", help="reference genome FASTA")
+    p.add_argument("--size", type=int, default=4)
+    p.add_argument("--factor", type=int, default=3)
+    p.add_argument("--level", type=int, default=None)
+    p.add_argument("--cycles", type=int, default=10)
+    p.add_argument("--neighbours", type=int, default=4)
+    p.add_argument("--f-max-min", type=int, default=256,
+                   help="small-tier contig capacity bucket")
+    p.add_argument("--max-fit-bins", type=int, default=2048,
+                   help="cap on the Rippe fit window, in distance bins")
+    p.add_argument("--no-sample-param", action="store_true")
+    p.add_argument("--no-scramble", action="store_true")
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--t0", type=float, default=1.0)
+    p.add_argument("--out", default="graal_scale_out")
+    p.add_argument("--platform", default="",
+                   help="jax platform override (e.g. cpu)")
+    p.set_defaults(fn=cmd_scale)
 
     p = sub.add_parser("replay", help="re-apply a recorded mutation log")
     p.add_argument("dataset")

@@ -262,3 +262,68 @@ class ScaleRunner:
         check_invariants(state)
         self.params = params
         return state, params, metrics
+
+
+def from_dataset(dataset_dir: str, size: int, factor: int = 3,
+                 level: int | None = None, min_bin_per_contig: int = 1,
+                 max_fit_bins: int = 2048, max_dist_bins_factor: float = 1.0,
+                 progress: bool = True):
+    """Build a :class:`ScaleRunner` straight from a reference-format dataset
+    directory — the chr1-scale twin of pipeline.Runner, never densifying:
+
+    - observed contacts: the sub-level's COO triplets -> SparseObs,
+    - Rippe fit: model.fit_rippe_from_coo on the same triplets (exact
+      searchsorted pair-count denominator), window = mean source-contig
+      length * ``max_dist_bins_factor``, capped at ``max_fit_bins``
+      distance bins (at chr1 scale the reference's mean-contig window is
+      the whole chromosome; the curve flattens to v_inter long before),
+    - v_inter: model.mean_value_trans_from_coo.
+
+    Returns (runner, state0, level_handle, extras) where ``state0`` is the
+    file-order genome and ``extras`` carries the fit curve for plots.
+    """
+    from graal_tpu.core.model import (fit_rippe_from_coo,
+                                      mean_value_trans_from_coo)
+    from graal_tpu.core.subfrags import table_from_level
+    from graal_tpu.io import pyramid as pyramid_io
+
+    pyr = pyramid_io.build_and_filter(dataset_dir, size, factor,
+                                      min_bin_per_contig)
+    lvl = min(level if level is not None else size - 1, size - 1)
+    lev = pyr.get_level(lvl)
+    sub = pyr.get_level(max(lvl - 1, 0))
+    soa = lev.genome_soa()
+    sub_soa = sub.genome_soa()
+    bin_to_subs = pyr.sub_ranges(lvl) if lvl > 0 else \
+        np.stack([np.arange(lev.n_frags)] * 2, axis=1)
+    table = table_from_level(
+        soa, {"len_bp": sub_soa["len_bp"], "n_accu": sub_soa["n_accu"]},
+        bin_to_subs)
+
+    coo = sub.sparse.tocoo()
+    sobs = sparse.sparse_from_coo(coo.row, coo.col, coo.data, sub.n_frags)
+    sr, sc, sv = (np.asarray(sobs.rows), np.asarray(sobs.cols),
+                  np.asarray(sobs.vals))
+
+    v_inter = mean_value_trans_from_coo(sr, sc, sv,
+                                        np.asarray(sub.frags.chrom))
+    starts = sub_soa["pos"] == 0
+    mean_dist_kb = float(np.mean(sub_soa["l_cont_bp"][starts])) / 1000.0
+    size_bin_kb = float(np.mean(sub_soa["len_bp"])) / 1000.0
+    max_dist_kb = min(mean_dist_kb * max_dist_bins_factor,
+                      max_fit_bins * size_bin_kb)
+    if progress:
+        print(f"scale level {lvl}: {lev.n_frags} bins, {sub.n_frags} data "
+              f"subs, {sv.shape[0]} symmetric nnz; fitting over "
+              f"{max_dist_kb:.0f} kb in {size_bin_kb:.1f} kb bins", flush=True)
+    params, bins, mean_contacts, y_estim = fit_rippe_from_coo(
+        sr, sc, sv, sub_soa, v_inter, max_dist_kb, size_bin_kb)
+    if progress:
+        print("fitted params:", {f: round(float(getattr(params, f)), 5)
+                                 for f in params._fields}, flush=True)
+
+    state0 = GenomeState.from_soa(soa)
+    runner = ScaleRunner(table, sobs, params)
+    extras = {"fit_bins": bins, "fit_contacts": mean_contacts,
+              "fit_estim": y_estim, "v_inter": v_inter}
+    return runner, state0, lev, extras

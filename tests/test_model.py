@@ -123,3 +123,62 @@ class TestFit:
         assert mean[1] == 7.0
         assert mean[2] == 7.0
         assert mean[0] == 1e-10  # empty bin
+
+
+class TestSparseFit:
+    """COO-based fit path (chr1 scale): must agree with the dense fit."""
+
+    def _problem(self, seed=5, n=120):
+        rng = np.random.default_rng(seed)
+        id_c = np.repeat(np.arange(4), n // 4)
+        len_bp = rng.integers(2000, 5000, n)
+        start = np.zeros(n, np.int64)
+        pos = np.zeros(n, np.int64)
+        for c in range(4):
+            sel = id_c == c
+            ls = len_bp[sel]
+            start[sel] = np.cumsum(ls) - ls
+            pos[sel] = np.arange(sel.sum())
+        mat = rng.poisson(1.2, (n, n)).astype(np.float64)
+        mat = np.triu(mat, 1)
+        mat = mat + mat.T
+        soa = dict(id_c=id_c, start_bp=start, len_bp=len_bp, pos=pos)
+        return soa, mat
+
+    def test_bin_cis_contacts_coo_matches_dense(self):
+        soa, mat = self._problem()
+        iu, ju = np.nonzero(np.triu(mat, 1))
+        bins_d, mean_d = model.bin_cis_contacts(
+            mat, soa["id_c"], soa["start_bp"], soa["len_bp"], soa["pos"],
+            max_dist_kb=50.0, size_bin_kb=3.5)
+        bins_s, mean_s = model.bin_cis_contacts_coo(
+            iu, ju, mat[iu, ju], soa["id_c"], soa["start_bp"],
+            soa["len_bp"], soa["pos"], max_dist_kb=50.0, size_bin_kb=3.5)
+        np.testing.assert_allclose(bins_s, bins_d)
+        np.testing.assert_allclose(mean_s, mean_d, rtol=1e-9)
+
+    def test_bin_cis_contacts_coo_symmetric_input(self):
+        soa, mat = self._problem(seed=7)
+        iu, ju = np.nonzero(mat)   # both orientations
+        _, mean_d = model.bin_cis_contacts(
+            mat, soa["id_c"], soa["start_bp"], soa["len_bp"], soa["pos"],
+            max_dist_kb=40.0, size_bin_kb=4.0)
+        _, mean_s = model.bin_cis_contacts_coo(
+            iu, ju, mat[iu, ju], soa["id_c"], soa["start_bp"],
+            soa["len_bp"], soa["pos"], max_dist_kb=40.0, size_bin_kb=4.0)
+        np.testing.assert_allclose(mean_s, mean_d, rtol=1e-9)
+
+    def test_fit_rippe_from_coo_matches_dense(self):
+        soa, mat = self._problem(seed=11)
+        iu, ju = np.nonzero(np.triu(mat, 1))
+        chrom = soa["id_c"]
+        v_d = float(mat[chrom[:, None] != chrom[None, :]].mean())
+        v_s = model.mean_value_trans_from_coo(iu, ju, mat[iu, ju], chrom)
+        np.testing.assert_allclose(v_s, v_d, rtol=1e-9)
+        p_d, _, md, _ = model.fit_rippe_from_matrix(mat, soa, v_d, 60.0, 3.0)
+        p_s, _, ms, _ = model.fit_rippe_from_coo(iu, ju, mat[iu, ju], soa,
+                                                 v_s, 60.0, 3.0)
+        np.testing.assert_allclose(ms, md, rtol=1e-9)
+        for f in p_d._fields:
+            np.testing.assert_allclose(float(getattr(p_s, f)),
+                                       float(getattr(p_d, f)), rtol=1e-5)

@@ -113,3 +113,40 @@ def test_scale_runner_with_repeats():
                                    seed=7, progress=False)
     check_invariants(final)
     assert metrics["likelihood"][-1] > ll_shuf
+
+
+def test_from_dataset_sparse_end_to_end(tmp_path):
+    """scale.from_dataset: pyramid -> sparse fit -> ScaleRunner, never
+    densifying; the sparse Rippe fit must agree with the dense Runner's
+    fit on the same dataset, and the assembly must climb."""
+    from graal_tpu import scale as scale_mod
+    from graal_tpu.config import RunConfig
+    from graal_tpu.core import mcmc
+    from graal_tpu.pipeline import Runner
+    from graal_tpu.utils.dataset import write_synthetic_dataset
+
+    d = str(tmp_path / "ds")
+    write_synthetic_dataset(d, n_bins=90, n_contigs=3,
+                            contacts_scale=40.0, seed=3)
+    runner, state0, lev, extras = scale_mod.from_dataset(
+        d, size=3, level=1, progress=False)
+
+    cfg = RunConfig()
+    cfg.dataset_dir = d
+    cfg.output_dir = str(tmp_path / "out")
+    cfg.platform = "cpu"
+    cfg.pyramid.size = 3
+    cfg.sampler.level = 1
+    dense = Runner(cfg)
+    for f in dense.params._fields:
+        np.testing.assert_allclose(float(getattr(runner.params, f)),
+                                   float(getattr(dense.params, f)),
+                                   rtol=1e-5, err_msg=f)
+
+    shuf = jax.jit(mcmc.explode_genome)(state0)
+    ll0 = float(runner.anchor_fn()(shuf, runner.params))
+    final, _, metrics = runner.run(shuf, n_cycles=2, f_max_min=64,
+                                   init_truth=state0, seed=5, progress=False)
+    check_invariants(final)
+    assert metrics["likelihood"][-1] > ll0
+    assert metrics["dist_init_genome"][-1] < 0.5
