@@ -55,30 +55,37 @@ def build_sub_frag_table(sub_ids, sub_len_kb, sub_accu, id_d) -> SubFragTable:
     sub_accu = np.asarray(sub_accu, np.float64)
     id_d = np.asarray(id_d)
 
-    owners, data_ids, lens, accus, pres, sufs = [], [], [], [], [], []
-    for f, bin_id in enumerate(id_d):
-        w = int(sub_ids[bin_id, 3])
-        ls = sub_len_kb[bin_id, :w]
-        pre = np.concatenate([[0.0], np.cumsum(ls[:-1])])
-        suf = (np.sum(ls) - np.cumsum(ls))
-        for slot in range(w):
-            owners.append(f)
-            data_ids.append(int(sub_ids[bin_id, slot]))
-            lens.append(ls[slot])
-            accus.append(sub_accu[bin_id, slot])
-            pres.append(pre[slot])
-            sufs.append(suf[slot])
+    # Fully vectorised (a per-bin Python loop is minutes at 500k bins).
+    # Slot prefixes/suffixes use explicit <=3-term sums in the same
+    # left-to-right order as a per-group cumsum, so values are
+    # bit-identical to the original loop.
+    w = sub_ids[id_d, 3].astype(np.int64)                   # (F,) copies
+    owner = np.repeat(np.arange(len(id_d), dtype=np.int64), w)
+    row0 = np.cumsum(w) - w
+    slot = np.arange(int(w.sum()), dtype=np.int64) - np.repeat(row0, w)
+    b = np.repeat(id_d, w)                                   # bin per row
+    w_r = np.repeat(w, w)
+    data_ids = sub_ids[b, slot]
+    lens = sub_len_kb[b, slot]
+    accus = sub_accu[b, slot]
+    l0 = sub_len_kb[b, 0]
+    l1 = np.where(w_r >= 2, sub_len_kb[b, 1], 0.0)
+    l2 = np.where(w_r >= 3, sub_len_kb[b, 2], 0.0)
+    c1 = l0 + l1
+    total = c1 + l2
+    pres = np.choose(slot, [np.zeros_like(l0), l0, c1])
+    cums = np.choose(slot, [l0, c1, total])
+    sufs = total - cums
 
     n_data_sub = int(sub_ids[:, :3].max()) + 1
-    all_accu = []
     n_bins = sub_ids.shape[0]
-    for bin_id in range(n_bins):
-        w = int(sub_ids[bin_id, 3])
-        all_accu.extend(sub_accu[bin_id, :w])
-    n_frags_per_bins = float(np.float32(np.mean(np.asarray(all_accu, np.float32))) ** 2)
+    sl3 = np.arange(3)[None, :]
+    bin_mask = sl3 < sub_ids[:, 3][:, None]                  # (n_bins, 3)
+    all_accu = sub_accu[:, :3][bin_mask].astype(np.float32)
+    n_frags_per_bins = float(np.float32(np.mean(all_accu)) ** 2)
 
     return SubFragTable(
-        owner=jnp.asarray(owners, jnp.int32),
+        owner=jnp.asarray(owner, jnp.int32),
         data_id=jnp.asarray(data_ids, jnp.int32),
         len_kb=jnp.asarray(np.float32(lens)),
         accu=jnp.asarray(np.float32(accus)),
@@ -86,7 +93,7 @@ def build_sub_frag_table(sub_ids, sub_len_kb, sub_accu, id_d) -> SubFragTable:
         suffix_kb=jnp.asarray(np.float32(sufs)),
         n_data_sub=n_data_sub,
         n_frags_per_bins=n_frags_per_bins,
-        has_repeats=len(owners) != n_data_sub,
+        has_repeats=len(owner) != n_data_sub,
     )
 
 
@@ -99,21 +106,20 @@ def table_from_level(level_frags: dict, sub_level_frags: dict,
     simulation_loader.py:681-688, clamped to <=3 subs).
     """
     n_bins = bin_to_subs.shape[0]
-    sub_ids = np.zeros((n_bins, 4), np.int64)
-    sub_len = np.zeros((n_bins, 3), np.float64)
-    sub_acc = np.zeros((n_bins, 3), np.float64)
     sub_len_bp = np.asarray(sub_level_frags["len_bp"], np.float64)
     sub_accu_src = np.asarray(sub_level_frags["n_accu"], np.float64)
-    for b in range(n_bins):
-        lo, hi = int(bin_to_subs[b, 0]), int(bin_to_subs[b, 1])
-        w = hi - lo + 1
-        if w > 3:
-            raise ValueError(f"bin {b} has {w} > 3 sub-fragments")
-        sub_ids[b, 3] = w
-        for slot in range(w):
-            sub_ids[b, slot] = lo + slot
-            sub_len[b, slot] = sub_len_bp[lo + slot] / 1000.0
-            sub_acc[b, slot] = sub_accu_src[lo + slot]
+    lo = np.asarray(bin_to_subs[:, 0], np.int64)
+    w = np.asarray(bin_to_subs[:, 1], np.int64) - lo + 1
+    if np.any(w > 3):
+        b = int(np.argmax(w > 3))
+        raise ValueError(f"bin {b} has {int(w[b])} > 3 sub-fragments")
+    sl = np.arange(3)[None, :]
+    valid = sl < w[:, None]
+    idx = np.where(valid, lo[:, None] + sl, 0)
+    sub_ids = np.concatenate(
+        [np.where(valid, idx, 0), w[:, None]], axis=1)
+    sub_len = np.where(valid, sub_len_bp[idx] / 1000.0, 0.0)
+    sub_acc = np.where(valid, sub_accu_src[idx], 0.0)
     if id_d is None:
         id_d = np.arange(n_bins)
     return build_sub_frag_table(sub_ids, sub_len, sub_acc, id_d)
