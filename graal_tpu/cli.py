@@ -212,7 +212,7 @@ def cmd_scale(args):
 
     runner, state0, lev, _ = scale_mod.from_dataset(
         args.dataset, args.size, args.factor, level=args.level,
-        max_fit_bins=args.max_fit_bins)
+        max_fit_bins=args.max_fit_bins, allow_repeats=args.allow_repeats)
     state = state0
     if not args.no_scramble:
         from graal_tpu.core import mcmc
@@ -323,6 +323,9 @@ def main(argv=None):
                    help="small-tier contig capacity bucket")
     p.add_argument("--max-fit-bins", type=int, default=2048,
                    help="cap on the Rippe fit window, in distance bins")
+    p.add_argument("--allow-repeats", action="store_true",
+                   help="duplicate coverage-outlier bins (copy-expanded "
+                        "geometry; routes to the repeat-aware scorer)")
     p.add_argument("--no-sample-param", action="store_true")
     p.add_argument("--no-scramble", action="store_true")
     p.add_argument("--seed", type=int, default=1)

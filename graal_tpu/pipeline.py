@@ -29,14 +29,16 @@ from graal_tpu.io import fasta as fasta_io
 from graal_tpu.io import pyramid as pyramid_io
 
 
-def detect_repeats(bin_matrix: np.ndarray, allow_repeats: bool):
+def detect_repeats_coverage(coverage: np.ndarray, allow_repeats: bool):
     """Coverage-outlier repeat detection (select_repeated_frags,
     simulation_loader.py:369-394): bins with coverage > mean + 3 sd are
     repeat candidates with estimated copy number max(1, round(cov/th) - 1)
-    extra copies."""
+    extra copies. Scale-invariant in ``coverage`` (thresholding and copy
+    ratio both divide out a global factor), so any proportional coverage
+    vector works — dense double row sums or sparse single ones."""
     if not allow_repeats:
         return []
-    coverage = bin_matrix.sum(axis=0) + bin_matrix.sum(axis=1)
+    coverage = np.asarray(coverage, np.float64)
     thresh = coverage.mean() + 3 * coverage.std()
     out = []
     for b in np.nonzero(coverage > thresh)[0]:
@@ -45,32 +47,44 @@ def detect_repeats(bin_matrix: np.ndarray, allow_repeats: bool):
     return out
 
 
+def detect_repeats(bin_matrix: np.ndarray, allow_repeats: bool):
+    """Dense entry point: coverage = column + row sums."""
+    if not allow_repeats:
+        return []
+    return detect_repeats_coverage(
+        bin_matrix.sum(axis=0) + bin_matrix.sum(axis=1), allow_repeats)
+
+
 def extend_with_repeats(soa: dict, duplications):
     """Append repeat copies as fresh singleton contigs
-    (modify_vect_frags, simulation_loader.py:182-256)."""
+    (modify_vect_frags, simulation_loader.py:182-256). Vectorised —
+    the per-copy Python append was O(n) list conversions at chr1 scale."""
     if not duplications:
         return soa
-    soa = {k: list(np.asarray(v)) for k, v in soa.items()}
-    max_c = max(soa["id_c"]) + 1
-    for bin_id, n_dup in duplications:
-        for _ in range(n_dup):
-            soa["pos"].append(0)
-            soa["id_c"].append(max_c)
-            soa["start_bp"].append(0)
-            soa["len_bp"].append(soa["len_bp"][bin_id])
-            soa["circ"].append(0)
-            soa["l_cont"].append(1)
-            soa["l_cont_bp"].append(soa["len_bp"][bin_id])
-            soa["n_accu"].append(soa["n_accu"][bin_id])
-            soa["ori"].append(1)
-            soa["rep"].append(1)
-            soa["activ"].append(1)
-            soa["id_d"].append(bin_id)
-            max_c += 1
+    soa = {k: np.asarray(v) for k, v in soa.items()}
+    bins = np.repeat([b for b, _ in duplications],
+                     [d for _, d in duplications]).astype(np.int64)
+    m = len(bins)
+    max_c = int(soa["id_c"].max()) + 1
+    ext = {
+        "pos": np.zeros(m, np.int64),
+        "id_c": max_c + np.arange(m, dtype=np.int64),
+        "start_bp": np.zeros(m, np.int64),
+        "len_bp": soa["len_bp"][bins],
+        "circ": np.zeros(m, np.int64),
+        "l_cont": np.ones(m, np.int64),
+        "l_cont_bp": soa["len_bp"][bins],
+        "n_accu": soa["n_accu"][bins],
+        "ori": np.ones(m, np.int64),
+        "rep": np.ones(m, np.int64),
+        "activ": np.ones(m, np.int64),
+        "id_d": bins,
+    }
+    out = {k: np.concatenate([soa[k], np.asarray(ext[k], soa[k].dtype)])
+           for k in soa}
     # mark the originals of duplicated bins as repeats too
-    for bin_id, _ in duplications:
-        soa["rep"][bin_id] = 1
-    return {k: np.asarray(v) for k, v in soa.items()}
+    out["rep"][np.asarray([b for b, _ in duplications])] = 1
+    return out
 
 
 @contextlib.contextmanager

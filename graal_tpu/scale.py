@@ -267,7 +267,7 @@ class ScaleRunner:
 def from_dataset(dataset_dir: str, size: int, factor: int = 3,
                  level: int | None = None, min_bin_per_contig: int = 1,
                  max_fit_bins: int = 2048, max_dist_bins_factor: float = 1.0,
-                 progress: bool = True):
+                 allow_repeats: bool = False, progress: bool = True):
     """Build a :class:`ScaleRunner` straight from a reference-format dataset
     directory — the chr1-scale twin of pipeline.Runner, never densifying:
 
@@ -277,7 +277,10 @@ def from_dataset(dataset_dir: str, size: int, factor: int = 3,
       length * ``max_dist_bins_factor``, capped at ``max_fit_bins``
       distance bins (at chr1 scale the reference's mean-contig window is
       the whole chromosome; the curve flattens to v_inter long before),
-    - v_inter: model.mean_value_trans_from_coo.
+    - v_inter: model.mean_value_trans_from_coo,
+    - ``allow_repeats``: coverage-outlier bins are duplicated into
+      copy-expanded geometry (sparse coverage; the delta engine routes the
+      resulting table to the repeat-aware scorer automatically).
 
     Returns (runner, state0, level_handle, extras) where ``state0`` is the
     file-order genome and ``extras`` carries the fit curve for plots.
@@ -286,6 +289,8 @@ def from_dataset(dataset_dir: str, size: int, factor: int = 3,
                                       mean_value_trans_from_coo)
     from graal_tpu.core.subfrags import table_from_level
     from graal_tpu.io import pyramid as pyramid_io
+
+    from graal_tpu.pipeline import detect_repeats_coverage, extend_with_repeats
 
     pyr = pyramid_io.build_and_filter(dataset_dir, size, factor,
                                       min_bin_per_contig)
@@ -296,9 +301,25 @@ def from_dataset(dataset_dir: str, size: int, factor: int = 3,
     sub_soa = sub.genome_soa()
     bin_to_subs = pyr.sub_ranges(lvl) if lvl > 0 else \
         np.stack([np.arange(lev.n_frags)] * 2, axis=1)
+
+    # repeat detection from sparse coverage (select_repeated_frags,
+    # simulation_loader.py:369-394; detect_repeats_coverage is
+    # scale-invariant, so the raw one-orientation row+col sums work)
+    duplications = []
+    if allow_repeats:
+        raw = lev.sparse
+        cov = (np.asarray(raw.sum(axis=0)).ravel()
+               + np.asarray(raw.sum(axis=1)).ravel()
+               - 2.0 * raw.diagonal())
+        duplications = detect_repeats_coverage(cov, True)
+        soa = extend_with_repeats(soa, duplications)
+        if progress and duplications:
+            print(f"{len(duplications)} repeated bins, "
+                  f"{sum(d for _, d in duplications)} extra copies",
+                  flush=True)
     table = table_from_level(
         soa, {"len_bp": sub_soa["len_bp"], "n_accu": sub_soa["n_accu"]},
-        bin_to_subs)
+        bin_to_subs, id_d=soa["id_d"])
 
     coo = sub.sparse.tocoo()
     sobs = sparse.sparse_from_coo(coo.row, coo.col, coo.data, sub.n_frags)
@@ -323,7 +344,15 @@ def from_dataset(dataset_dir: str, size: int, factor: int = 3,
                                  for f in params._fields}, flush=True)
 
     state0 = GenomeState.from_soa(soa)
-    runner = ScaleRunner(table, sobs, params)
+    # neighbour proposals live on the BIN grid (the level matrix, like
+    # pipeline.Runner), not on the data grid ScaleRunner would default to —
+    # the two only coincide when every bin has exactly one sub-fragment
+    m_bin = (lev.sparse + lev.sparse.T).tocsr()
+    m_bin.setdiag(0)
+    m_bin.eliminate_zeros()
+    nb = mcmc.build_neighbour_table(m_bin, soa["id_d"], len(soa["id_d"]))
+    runner = ScaleRunner(table, sobs, params, nb=nb)
     extras = {"fit_bins": bins, "fit_contacts": mean_contacts,
-              "fit_estim": y_estim, "v_inter": v_inter}
+              "fit_estim": y_estim, "v_inter": v_inter,
+              "duplications": duplications}
     return runner, state0, lev, extras

@@ -150,3 +150,37 @@ def test_from_dataset_sparse_end_to_end(tmp_path):
     check_invariants(final)
     assert metrics["likelihood"][-1] > ll0
     assert metrics["dist_init_genome"][-1] < 0.5
+
+
+def test_from_dataset_with_repeats(tmp_path):
+    """allow_repeats through the sparse dataset path: an amplified bin is
+    duplicated, the table routes to the repeat-aware scorer, and the run
+    still climbs."""
+    import os
+    from graal_tpu import scale as scale_mod
+    from graal_tpu.core import mcmc
+    from graal_tpu.utils.dataset import write_synthetic_dataset
+
+    d = str(tmp_path / "ds")
+    write_synthetic_dataset(d, n_bins=90, n_contigs=3,
+                            contacts_scale=40.0, seed=3)
+    pairs = os.path.join(d, "abs_fragments_contacts_weighted.txt")
+    with open(pairs) as fh:
+        lines = fh.readlines()
+    extra = [l for l in lines[1:] if l.split("\t")[0] == "5"
+             or l.split("\t")[1] == "5"] * 9
+    with open(pairs, "w") as fh:
+        fh.writelines(lines + extra)
+
+    runner, state0, lev, extras = scale_mod.from_dataset(
+        d, size=3, level=1, allow_repeats=True, progress=False)
+    if not extras["duplications"]:
+        pytest.skip("amplification below the 3-sigma threshold")
+    assert runner.table.has_repeats
+    assert state0.n_frags > lev.n_frags
+    shuf = jax.jit(mcmc.explode_genome)(state0)
+    ll0 = float(runner.anchor_fn()(shuf, runner.params))
+    final, _, metrics = runner.run(shuf, n_cycles=2, f_max_min=64,
+                                   seed=5, progress=False)
+    check_invariants(final)
+    assert metrics["likelihood"][-1] > ll0
