@@ -107,7 +107,7 @@ def main():
             wrapped, scrambled, l0, params, n_bins, evals_per_step, key)
 
     anchor, anchor_kind = load_anchor()
-    print(json.dumps({
+    out = {
         "metric": "mcmc_mutation_evals_per_sec_per_chip",
         "value": round(results[True], 1),
         "unit": "candidate-genomes/s",
@@ -116,7 +116,53 @@ def main():
         "vs_baseline_no_nuisance": round(results[False] / anchor, 2),
         "baseline_anchor": anchor,
         "baseline_kind": anchor_kind,
-    }))
+    }
+    try:
+        out.update(scale_secondary())
+    except Exception as e:  # noqa: BLE001 — secondary metric must not kill the headline
+        out["chr1_error"] = f"{type(e).__name__}: {e}"[:120]
+    print(json.dumps(out))
+
+
+def scale_secondary(n_bins=20_000, f_max=512, n_steps=192):
+    """Chr1-scale delta-scored secondary metric: per-step latency and
+    candidate-evals/s at 20k fragments, with the carried-vs-re-anchor
+    exactness guard (benchmarks/bench_scale.py is the full harness)."""
+    import jax
+    import jax.numpy as jnp
+    from graal_tpu.scale import ScaleRunner
+    from graal_tpu.utils.synthetic_sparse import (make_scale_genome,
+                                                  scale_params,
+                                                  shuffle_genome,
+                                                  simulate_sparse_contacts)
+
+    params = scale_params()
+    state, table = make_scale_genome(n_bins, max(n_bins // 5000, 4), seed=31)
+    sobs = simulate_sparse_contacts(state, table, params, seed=31)
+    runner = ScaleRunner(table, sobs, params)
+    shuf = shuffle_genome(state, max(n_bins // 250, 8), seed=32)
+    cycle = runner.cycle_for(f_max, 4)
+    anchor = runner.anchor_fn()
+    l_t = anchor(shuf, params)
+    key = jax.random.key(0)
+    order = jax.random.permutation(key, n_bins)[:16]
+    jax.block_until_ready(cycle(shuf, key, params, order, l_t,
+                                jnp.float32(1.0)))   # compile
+    key, sub = jax.random.split(key)
+    order = jax.random.permutation(sub, n_bins)[:n_steps]
+    t0 = time.perf_counter()
+    cur, l_new, _ = cycle(shuf, sub, params, order, l_t, jnp.float32(1.0))
+    jax.block_until_ready(cur)
+    dt = time.perf_counter() - t0
+    drift = abs(float(l_new) - float(anchor(cur, params)))
+    assert drift < max(2.0, 1e-5 * abs(float(l_new))), \
+        f"chr1 incremental likelihood drifted {drift}"
+    return {
+        "chr1_evals_per_s": round(n_steps * 13 * 5 / dt, 1),
+        "chr1_ms_per_step": round(dt / n_steps * 1000, 2),
+        "chr1_n_fragments": n_bins,
+        "chr1_incr_drift": round(drift, 3),
+    }
 
 
 if __name__ == "__main__":
