@@ -217,11 +217,21 @@ def cmd_scale(args):
     if not args.no_scramble:
         from graal_tpu.core import mcmc
         state = jax.jit(mcmc.explode_genome)(state)
-    final, params, metrics = runner.run(
-        state, n_cycles=args.cycles, delta=args.neighbours,
-        f_max_min=args.f_max_min, f_t=args.t0,
-        sample_param=not args.no_sample_param, seed=args.seed,
-        init_truth=state0)
+    if args.chains > 1:
+        final, best_ll, metrics = runner.run_chains(
+            state, n_chains=args.chains, n_cycles=args.cycles,
+            delta=args.neighbours, f_max_min=args.f_max_min, f_t=args.t0,
+            seed=args.seed)
+        metrics = {"likelihood": metrics["best"],
+                   "n_contigs": [int(final.n_contigs())],
+                   "dist_init_genome": [], "overflow": [],
+                   "f_max": metrics["f_max"], "cycle_s": []}
+    else:
+        final, params, metrics = runner.run(
+            state, n_cycles=args.cycles, delta=args.neighbours,
+            f_max_min=args.f_max_min, f_t=args.t0,
+            sample_param=not args.no_sample_param, seed=args.seed,
+            init_truth=state0)
     os.makedirs(args.out, exist_ok=True)
     for name, key in (("list_likelihood", "likelihood"),
                       ("list_n_contigs", "n_contigs"),
@@ -326,6 +336,9 @@ def main(argv=None):
     p.add_argument("--allow-repeats", action="store_true",
                    help="duplicate coverage-outlier bins (copy-expanded "
                         "geometry; routes to the repeat-aware scorer)")
+    p.add_argument("--chains", type=int, default=1,
+                   help="independent chains sharded over the device mesh "
+                        "with periodic best-genome exchange")
     p.add_argument("--no-sample-param", action="store_true")
     p.add_argument("--no-scramble", action="store_true")
     p.add_argument("--seed", type=int, default=1)

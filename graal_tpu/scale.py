@@ -263,6 +263,81 @@ class ScaleRunner:
         self.params = params
         return state, params, metrics
 
+    def run_chains(self, state0: GenomeState, n_chains: int, n_cycles: int,
+                   delta: int = 4, steps_per_cycle: int | None = None,
+                   f_max_min: int = 256, f_max_cap: int = 1 << 14,
+                   f_t: float = 1.0, exchange_every: int = 2, seed: int = 1,
+                   chunk_steps: int = 512, progress: bool = True):
+        """N independent chains from ``state0`` (distinct RNG streams),
+        sharded over a (chains, rows) mesh when the device count allows —
+        the chr1-scale multi-chip shape: the delta pair grids are tiny, so
+        devices go to chains, not rows (module docstring). Every
+        ``exchange_every`` cycles the argmax-likelihood genome is
+        broadcast to all chains (parallel.sharding.make_chain_exchange).
+        Returns (best_state, best_ll, metrics).
+        """
+        import jax
+        import jax.numpy as jnp
+        from graal_tpu.parallel.sharding import (make_chain_exchange,
+                                                 make_sharded_delta_cycle)
+
+        n = state0.n_frags
+        steps = steps_per_cycle or n
+        mesh = _chain_mesh(n_chains)
+        states = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), state0)
+        anchor = self.anchor_fn()
+        params = self.params
+        l_ts = jnp.broadcast_to(anchor(state0, params), (n_chains,))
+        exchange = make_chain_exchange(mesh)
+        s_max = delta_mod.build_mini_table(self.table,
+                                           allow_repeats=True).s_max
+        key = jax.random.key(seed)
+        cycles = {}
+        metrics = {"likelihood": [], "best": [], "f_max": []}
+        t0 = time.time()
+        for j in range(n_cycles):
+            # bucket sized for the largest contig across all chains
+            big = max(max_contig_subs(
+                jax.tree.map(lambda x: x[c], states), self.table)
+                for c in range(n_chains))
+            bucket = int(np.clip(_next_pow2(2 * big + 2 * s_max),
+                                 f_max_min, min(f_max_cap, _next_pow2(n))))
+            if bucket not in cycles:
+                cycles[bucket] = make_sharded_delta_cycle(
+                    mesh, self.table, self.nb, delta=delta, f_max=bucket,
+                    sobs=self.sobs, band_w=self.w)
+            key, k_perm = jax.random.split(key)
+            order = jax.vmap(lambda k: jax.random.permutation(k, n)[:steps])(
+                jax.random.split(k_perm, n_chains))
+            i = 0
+            order_np = np.asarray(order)
+            while i < steps:
+                chunk = min(chunk_steps, steps - i)
+                key, k_cyc = jax.random.split(key)
+                seg = jnp.asarray(order_np[:, i:i + chunk])
+                states, l_ts = cycles[bucket](
+                    states, jax.random.split(k_cyc, n_chains), params, seg,
+                    l_ts, jnp.full((n_chains,), f_t, jnp.float32))
+                i += chunk
+            # re-anchor each chain (f32 drift control, as in run())
+            l_ts = jax.vmap(lambda s: anchor(s, params))(states)
+            if exchange_every and (j + 1) % exchange_every == 0:
+                states, l_ts = exchange(states, l_ts)
+            lls = np.asarray(l_ts)
+            metrics["likelihood"].append(lls.tolist())
+            metrics["best"].append(float(lls.max()))
+            metrics["f_max"].append(bucket)
+            if progress:
+                print(f"chains cycle {j}: best={lls.max():.1f} "
+                      f"spread={lls.max() - lls.min():.1f} f_max={bucket} "
+                      f"({time.time() - t0:.1f}s)", flush=True)
+        best = int(np.argmax(np.asarray(l_ts)))
+        final = jax.tree.map(lambda x: np.asarray(x[best]), states)
+        final = GenomeState(*[jnp.asarray(a) for a in final])
+        check_invariants(final)
+        return final, float(np.asarray(l_ts)[best]), metrics
+
 
 def from_dataset(dataset_dir: str, size: int, factor: int = 3,
                  level: int | None = None, min_bin_per_contig: int = 1,
@@ -356,3 +431,19 @@ def from_dataset(dataset_dir: str, size: int, factor: int = 3,
               "fit_estim": y_estim, "v_inter": v_inter,
               "duplications": duplications}
     return runner, state0, lev, extras
+
+
+def _chain_mesh(n_chains: int):
+    """Largest mesh chains-axis that divides both the chain count and the
+    device count (1 => all chains vmapped on one device)."""
+    import jax
+    from graal_tpu.parallel.sharding import make_mesh
+
+    n_dev = len(jax.devices())
+    ax = 1
+    for d in range(min(n_chains, n_dev), 0, -1):
+        if n_chains % d == 0 and n_dev % d == 0:
+            ax = d
+            break
+    return make_mesh(n_chains=ax, n_rows=n_dev // ax,
+                     devices=jax.devices()[: n_dev])

@@ -184,3 +184,22 @@ def test_from_dataset_with_repeats(tmp_path):
                                    seed=5, progress=False)
     check_invariants(final)
     assert metrics["likelihood"][-1] > ll0
+
+
+def test_run_chains_on_mesh():
+    """Multi-chain scale run over the 8-device CPU mesh: chains improve
+    independently, exchange propagates the best genome, result beats the
+    scrambled start."""
+    params = scale_params()
+    state, table = make_scale_genome(300, 4, seed=21)
+    sobs = simulate_sparse_contacts(state, table, params, seed=21)
+    runner = ScaleRunner(table, sobs, params)
+    shuf = shuffle_genome(state, 10, seed=22)
+    ll0 = float(runner.anchor_fn()(shuf, params))
+    final, best_ll, m = runner.run_chains(shuf, n_chains=4, n_cycles=2,
+                                          f_max_min=64, exchange_every=1,
+                                          seed=3, progress=False)
+    check_invariants(final)
+    assert best_ll > ll0
+    # exchange leaves every chain at the broadcast best
+    assert np.allclose(m["likelihood"][-1], max(m["likelihood"][-1]))
