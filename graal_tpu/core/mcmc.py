@@ -281,7 +281,7 @@ def solve_d_max(params: RippeParams, v_inter, lo=1e-2, hi=1e6, iters=80):
 
 
 def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32,
-                       scorer=None):
+                       scorer=None, d_max_cap: float | None = None):
     """Jitted nuisance-parameter Metropolis step
     (step_nuisance_parameters, cuda_lib_gl.py:2022-2107).
 
@@ -295,6 +295,13 @@ def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32,
     nuisance path shares the EM step's fast scorer instead of falling back
     to the jnp likelihood. With a scorer, ``obs`` may be None (chr1 scale:
     no dense matrix exists).
+
+    ``d_max_cap``: reject any proposal whose (possibly re-derived) d_max
+    exceeds this value. REQUIRED with banded sparse scorers: their cis
+    correction only covers pairs within the band width chosen at build
+    time (ScaleRunner.max_covered_d_max) — beyond it the evaluation
+    silently undercounts cis mass, so such proposals must never enter
+    the Metropolis test at all.
     """
     if obs is not None:
         obs = jnp.asarray(obs, jnp.float32)
@@ -348,6 +355,9 @@ def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32,
         test_params, in_support = jax.lax.switch(
             id_modif, [mod_fact, mod_slope, mod_d_max, mod_d_nuc], params)
         test_params = RippeParams(*[x.astype(jnp.float32) for x in test_params])
+        if d_max_cap is not None:
+            # every modifier can move d_max (directly or via solve_d_max)
+            in_support = in_support & (test_params.d_max <= d_max_cap)
 
         if scorer is not None:
             l_star = scorer(jax.tree.map(lambda x: x[None], state),

@@ -121,7 +121,8 @@ class ScaleRunner:
 
         if self._nuis is None:
             self._nuis = jax.jit(mcmc.make_nuisance_step(
-                self.table, None, scorer=self.scorer()))
+                self.table, None, scorer=self.scorer(),
+                d_max_cap=self.max_covered_d_max))
         return self._nuis
 
     # ---- run ---------------------------------------------------------------

@@ -157,3 +157,25 @@ def test_nuisance_step_with_scorer_matches_jnp():
         for a, b in zip(p_a, p_b):
             np.testing.assert_allclose(float(a), float(b), rtol=1e-5)
         params, l_t = p_a, l_a
+
+
+def test_nuisance_d_max_cap_rejects():
+    """With a d_max cap (banded sparse scorers), any proposal whose
+    re-derived d_max exceeds the cap must be rejected regardless of
+    likelihood improvement."""
+    import jax
+    import jax.numpy as jnp
+    from graal_tpu.core import mcmc as mcmc_mod
+
+    state, table, params, obs = make_problem()
+    # cap just below the current d_max: every d_max-moving proposal that
+    # lands above must be rejected; run many keys and assert the invariant
+    cap = float(params.d_max) * 1.05
+    step = jax.jit(mcmc_mod.make_nuisance_step(table, obs, d_max_cap=cap))
+    from graal_tpu.core.likelihood import log_likelihood
+    l_t = jax.jit(lambda s, p: log_likelihood(s, table, obs, p))(state, params)
+    p = params
+    for i in range(40):
+        p, l_t, accept = step(state, jax.random.key(i), p, l_t,
+                              jnp.float32(1.0))
+        assert float(p.d_max) <= cap + 1e-3
