@@ -210,6 +210,30 @@ def cmd_scale(args):
     from graal_tpu import scale as scale_mod
     from graal_tpu.io import fasta as fasta_io
 
+    if args.to_level is not None:
+        start = args.level if args.level is not None else args.size - 1
+        final, runner, lev, per_level = scale_mod.run_multilevel(
+            args.dataset, args.size, start, args.to_level,
+            n_cycles=args.cycles, factor=args.factor,
+            delta=args.neighbours, f_max_min=args.f_max_min, f_t=args.t0,
+            sample_param=not args.no_sample_param, seed=args.seed,
+            max_fit_bins=args.max_fit_bins)
+        os.makedirs(args.out, exist_ok=True)
+        if args.fasta:
+            f = lev.frags
+            contigs = fasta_io.export_assembly(
+                final, f.chrom, f.start_pos, f.end_pos,
+                fasta_io.load_fasta(args.fasta),
+                os.path.join(args.out, "genome.fasta"),
+                os.path.join(args.out, "info_frags.txt"))
+            print(f"wrote {len(contigs)} contigs")
+        print(json.dumps({"levels": [
+            {"level": m["level"], "final_loglik": m["likelihood"][-1],
+             "n_contigs": m["n_contigs"][-1],
+             "dist_init_genome": (m["dist_init_genome"] or [None])[-1]}
+            for m in per_level]}))
+        print(f"outputs in {args.out}")
+        return 0
     runner, state0, lev, _ = scale_mod.from_dataset(
         args.dataset, args.size, args.factor, level=args.level,
         max_fit_bins=args.max_fit_bins, allow_repeats=args.allow_repeats)
@@ -327,6 +351,9 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=4)
     p.add_argument("--factor", type=int, default=3)
     p.add_argument("--level", type=int, default=None)
+    p.add_argument("--to-level", type=int, default=None,
+                   help="multilevel: assemble at --level, refine level by "
+                        "level down to this level (projected warm starts)")
     p.add_argument("--cycles", type=int, default=10)
     p.add_argument("--neighbours", type=int, default=4)
     p.add_argument("--f-max-min", type=int, default=256,

@@ -430,8 +430,50 @@ def from_dataset(dataset_dir: str, size: int, factor: int = 3,
     runner = ScaleRunner(table, sobs, params, nb=nb)
     extras = {"fit_bins": bins, "fit_contacts": mean_contacts,
               "fit_estim": y_estim, "v_inter": v_inter,
-              "duplications": duplications}
+              "duplications": duplications, "pyramid": pyr,
+              "level_soa": soa}
     return runner, state0, lev, extras
+
+
+def run_multilevel(dataset_dir: str, size: int, from_level: int,
+                   to_level: int, n_cycles: int, factor: int = 3,
+                   delta: int = 4, f_max_min: int = 256, f_t: float = 1.0,
+                   sample_param: bool = False, seed: int = 1,
+                   max_fit_bins: int = 2048, progress: bool = True):
+    """Coarse-to-fine sparse assembly: assemble at ``from_level`` from a
+    scrambled start, then refine level by level down to ``to_level`` with
+    orientation-aware projected warm starts (multilevel.project_state_to_sub
+    — the same cascade the dense pipeline runs, never densifying).
+
+    Returns (final_state, last_runner, last_level_handle, metrics_per_level).
+    """
+    import jax
+    from graal_tpu.multilevel import project_state_to_sub
+
+    assert from_level >= to_level >= 0
+    state = None
+    prev_final = None
+    all_metrics = []
+    runner = lev = None
+    for lvl in range(from_level, to_level - 1, -1):
+        runner, state0, lev, extras = from_dataset(
+            dataset_dir, size, factor, level=lvl,
+            max_fit_bins=max_fit_bins, progress=progress)
+        if prev_final is None:
+            state = jax.jit(mcmc.explode_genome)(state0)
+        else:
+            soa = project_state_to_sub(
+                prev_final, extras["pyramid"].sub_ranges(lvl + 1),
+                np.asarray(extras["level_soa"]["len_bp"]))
+            soa["id_d"] = np.arange(len(soa["pos"]))
+            state = GenomeState.from_soa(soa)
+        final, _, metrics = runner.run(
+            state, n_cycles=n_cycles, delta=delta, f_max_min=f_max_min,
+            f_t=f_t, sample_param=sample_param, seed=seed + lvl,
+            init_truth=state0, progress=progress)
+        all_metrics.append({"level": lvl, **metrics})
+        prev_final = final
+    return prev_final, runner, lev, all_metrics
 
 
 def _chain_mesh(n_chains: int):

@@ -203,3 +203,22 @@ def test_run_chains_on_mesh():
     assert best_ll > ll0
     # exchange leaves every chain at the broadcast best
     assert np.allclose(m["likelihood"][-1], max(m["likelihood"][-1]))
+
+
+def test_scale_multilevel_warm_start(tmp_path):
+    """Coarse-to-fine sparse cascade: level-2 assembly projected onto
+    level 1 must start at (or land immediately on) the exact structure."""
+    from graal_tpu import scale as scale_mod
+    from graal_tpu.utils.dataset import write_synthetic_dataset
+
+    d = str(tmp_path / "ds")
+    write_synthetic_dataset(d, n_bins=90, n_contigs=3,
+                            contacts_scale=40.0, seed=3)
+    final, runner, lev, per_level = scale_mod.run_multilevel(
+        d, size=3, from_level=2, to_level=1, n_cycles=2,
+        f_max_min=64, progress=False)
+    check_invariants(final)
+    assert len(per_level) == 2
+    assert final.n_frags == lev.n_frags
+    # the finer level must not regress below the coarse recovery
+    assert per_level[-1]["dist_init_genome"][-1] <= 0.1
