@@ -256,12 +256,23 @@ def cmd_scale(args):
             f_max_min=args.f_max_min, f_t=args.t0,
             sample_param=not args.no_sample_param, seed=args.seed,
             init_truth=state0)
+    if getattr(args, "profile", False):
+        from graal_tpu.utils import profiling
+        with profiling.trace(os.path.join(args.out, "profile")):
+            final, params, _ = runner.run(
+                final, n_cycles=1, delta=args.neighbours,
+                f_max_min=args.f_max_min, f_t=args.t0,
+                sample_param=not args.no_sample_param, seed=args.seed + 1)
     os.makedirs(args.out, exist_ok=True)
     for name, key in (("list_likelihood", "likelihood"),
                       ("list_n_contigs", "n_contigs"),
                       ("list_dist_init_genome", "dist_init_genome"),
                       ("list_overflow", "overflow"),
-                      ("list_f_max", "f_max")):
+                      ("list_f_max", "f_max"),
+                      ("list_fact", "fact"),
+                      ("list_slope", "slope"),
+                      ("list_d_max", "d_max"),
+                      ("list_d_nuc", "v_inter")):
         with open(os.path.join(args.out, f"0{name}.txt"), "w") as fh:
             for v in metrics.get(key, []):
                 fh.write(f"{v}\n")
@@ -370,6 +381,9 @@ def main(argv=None):
     p.add_argument("--no-scramble", action="store_true")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--t0", type=float, default=1.0)
+    p.add_argument("--profile", action="store_true",
+                   help="run one extra post-compile cycle under "
+                        "jax.profiler.trace into <out>/profile")
     p.add_argument("--out", default="graal_scale_out")
     p.add_argument("--platform", default="",
                    help="jax platform override (e.g. cpu)")

@@ -200,7 +200,8 @@ class ScaleRunner:
             return state, l_t, outs, key
 
         metrics = {"likelihood": [], "n_contigs": [], "overflow": [],
-                   "dist_init_genome": [], "f_max": [], "cycle_s": []}
+                   "dist_init_genome": [], "f_max": [], "cycle_s": [],
+                   "fact": [], "slope": [], "d_max": [], "v_inter": []}
         t0 = time.time()
         for j in range(n_cycles):
             big_bucket = _next_pow2(2 * max_contig_subs(state, self.table)
@@ -249,6 +250,8 @@ class ScaleRunner:
             metrics["overflow"].append(n_over)
             metrics["f_max"].append(bucket)
             metrics["cycle_s"].append(cycle_s)
+            for pname in ("fact", "slope", "d_max", "v_inter"):
+                metrics[pname].append(float(getattr(params, pname)))
             dist = None
             if dist_ref is not None:
                 dist = dist_inter_genome(state, *dist_ref)
