@@ -157,6 +157,10 @@ def cmd_run(args):
     runner.save_behaviour(assembly)
     if args.snapshots:
         runner.save_matrix_snapshot("post_assembly", assembly.state)
+        from graal_tpu.utils.plots import plot_genome_layout
+        chrom_idx = np.unique(np.asarray(runner.level.frags.chrom),
+                              return_inverse=True)[1]
+        plot_genome_layout(assembly.state, chrom_idx, cfg.output_dir)
     if args.fasta:
         if args.polish:
             assembly.state = runner.polish_orientations(assembly.state)
@@ -285,6 +289,10 @@ def cmd_scale(args):
             os.path.join(args.out, "info_frags.txt"))
         print(f"wrote {len(contigs)} contigs to "
               f"{os.path.join(args.out, 'genome.fasta')}")
+    from graal_tpu.utils.plots import plot_genome_layout
+    chrom_idx = np.unique(np.asarray(lev.frags.chrom),
+                          return_inverse=True)[1]
+    plot_genome_layout(final, chrom_idx, args.out)
     print(json.dumps({
         "final_loglik": metrics["likelihood"][-1],
         "n_contigs": metrics["n_contigs"][-1],

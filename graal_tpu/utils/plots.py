@@ -113,6 +113,64 @@ def animate_snapshots(output_dir: str, out_name: str = "assembly.gif",
     return out
 
 
+def plot_genome_layout(state, chrom_of_bin, output_dir: str,
+                       out_name: str = "genome_layout.png",
+                       max_contigs: int = 64) -> str | None:
+    """Assembly structure painting — the headless stand-in for the
+    reference's 3D particle view (gl_update_pos, kernels3.cu:3824-3973):
+    each assembled contig is one horizontal track of fragments in
+    position order, colored by SOURCE chromosome, orientation drawn as
+    marker direction. A correct assembly shows single-colored tracks with
+    uniform arrowheads; chimeric joins and misorientations are visible as
+    color/direction breaks.
+
+    ``chrom_of_bin``: (n_bins,) array mapping data bins to source
+    chromosome indices (e.g. pd-factorized Level.frags.chrom).
+    """
+    try:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except Exception:
+        return None
+    id_c = np.asarray(state.id_c)
+    pos = np.asarray(state.pos)
+    ori = np.asarray(state.ori)
+    activ = np.asarray(state.activ)
+    id_d = np.asarray(state.id_d)
+    chrom_of_bin = np.asarray(chrom_of_bin)
+    cids, counts = np.unique(id_c[activ == 1], return_counts=True)
+    order = np.argsort(-counts)[:max_contigs]
+    n_chrom = int(chrom_of_bin.max()) + 1
+    cmap = plt.get_cmap("tab20", max(n_chrom, 2))
+    fig, ax = plt.subplots(
+        figsize=(10, max(2, 0.3 * len(order))), dpi=100)
+    for track, k in enumerate(order):
+        members = np.nonzero((id_c == cids[k]) & (activ == 1))[0]
+        members = members[np.argsort(pos[members])]
+        x = np.arange(len(members))
+        colors = cmap(chrom_of_bin[id_d[members]] % cmap.N)
+        flipped = ori[members] == -1
+        fwd = ~flipped
+        if fwd.any():
+            ax.scatter(x[fwd], np.full(fwd.sum(), track), c=colors[fwd],
+                       s=14, marker=">", linewidths=0)
+        if flipped.any():
+            ax.scatter(x[flipped], np.full(flipped.sum(), track),
+                       c=colors[flipped], s=14, marker="<", linewidths=0)
+    ax.set_yticks(range(len(order)))
+    ax.set_yticklabels([f"contig {cids[k]} ({counts[k]})" for k in order],
+                       fontsize=7)
+    ax.set_xlabel("position in contig (bins)")
+    ax.set_title("assembled contigs, colored by source chromosome")
+    ax.invert_yaxis()
+    fig.tight_layout()
+    out = os.path.join(output_dir, out_name)
+    fig.savefig(out)
+    plt.close(fig)
+    return out
+
+
 def main(argv=None):
     import sys
 
