@@ -152,24 +152,6 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
         got = mat[g]                                  # g.shape + (6,)
         return {f: got[..., k] for k, f in enumerate(_FIELDS)}
 
-    def routed_geometry(cand, base, in_d, slot, krows):
-        """Geometry of copy rows under a candidate mini-state: mini fields
-        where the owner is in D, frozen base-state fields elsewhere.
-        The 6 candidate fields ride one packed gather (per candidate —
-        six separate per-field gathers were the repeat path's analogue of
-        the plain scorer's write-back cost)."""
-        cand_mat = jnp.stack([getattr(cand, f) for f in _FIELDS], axis=1)
-        got = cand_mat[slot]                          # slot.shape + (6,)
-        fld = {f: jnp.where(in_d, got[..., k], base[f])
-               for k, f in enumerate(_FIELDS)}
-        start_kb = fld["start_bp"].astype(jnp.float32) / 1000.0
-        mid = start_kb + jnp.where(fld["ori"] == 1, sub_pre[krows],
-                                   sub_suf[krows]) + sub_len[krows] * 0.5
-        return dict(
-            mid=mid, idc=fld["id_c"], circ=fld["circ"],
-            stot=fld["l_cont_bp"].astype(jnp.float32) / 1000.0,
-            a=jnp.where(fld["activ"] == 1, sub_accu[krows], 0.0))
-
     def pair_e(gu, gv, ok, params, with_circ):
         """Linear expected contacts of copy pairs (broadcast shapes)."""
         s = jnp.abs(gu["mid"] - gv["mid"])
@@ -232,7 +214,7 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
         weight = jnp.where(t_in_d, 0.5, 1.0)
         win_valid = win_valid & (t_bin != db[:, None])
 
-        # ---- copy enumeration (static CSR) ------------------------------
+        # ---- copy enumeration (static CSR; candidate-independent) -------
         ci = jnp.arange(c_max, dtype=jnp.int32)
         u0 = ct.copy_start[db_c]
         u_rows = ct.copy_rows[jnp.clip(u0[:, None] + ci[None, :],
@@ -249,7 +231,7 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
         u_base = base_fields(state, u_g)
         v_base = base_fields(state, v_g)
 
-        # mini-row geometry slots for the mass grid
+        # mini-row geometry slots
         mini_rows = subs_c
 
         def mini_geometry(cand):
@@ -265,52 +247,100 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
                 a=jnp.where((cand.activ[owner_slot] == 1) & sub_valid,
                             sub_accu[mini_rows], 0.0))
 
-        def obs_term(cand):
-            gu = routed_geometry(cand, u_base, u_in, u_slot, u_rows)
-            gv = routed_geometry(cand, v_base, v_in, v_slot, v_rows)
-            gu4 = {k: x[:, None, :, None] for k, x in gu.items()}
-            gv4 = {k: x[:, :, None, :] for k, x in gv.items()}
-            ok4 = u_ok[:, None, :, None] & v_ok[:, :, None, :]
-            e = pair_e(gu4, gv4, ok4, params, with_circ)
-            e_data = jnp.sum(e, axis=(2, 3))                   # (R, cap)
-            term = ob * jnp.log(jnp.where(e_data > 0.0, e_data, 1.0)) - lf
-            term = jnp.where(e_data > 0.0, term, 0.0)
-            return jnp.sum(jnp.where(win_valid, weight * term, 0.0))
+        # =================================================================
+        # The observed term, decomposed so NOTHING per-candidate gathers
+        # copy blocks (per-candidate (R, cap, c, c) routed-geometry gathers
+        # were the repeat path's analogue of the plain scorer's window
+        # gathers). For an observed pair (s, t) with s in data(D):
+        #
+        #   E_data(s, t) = F(s, t)                 frozen x frozen
+        #                + v_inter/nfpb * [ a_D(s) A_out(t)
+        #                                 + A_out(s) a_D(t) ]   mixed
+        #                + B(s, t)                 in-D x in-D
+        #
+        # - frozen copies live in non-D contigs, so mixed pairs are ALWAYS
+        #   trans (a candidate contig id is a D id or a fresh id > max_id,
+        #   never a non-D id) -> only activity sums, no geometry;
+        # - F is candidate-independent: computed ONCE per neighbour with
+        #   the frozen-only masks;
+        # - B reads the candidate's (R, R) mini pair grid (shared with the
+        #   expected-mass term) through c row-gathers + one einsum against
+        #   a candidate-independent one-hot over the t membership.
+        # =================================================================
 
-        def mass_grid(cand):
+        # mini row index of each in-D copy row (global sub g of fragment
+        # with mini slot q sits at mini row q * s_max + (g - sub_start))
+        u_mini = jnp.clip(u_slot * s_max
+                          + (u_rows - mt.sub_start[jnp.clip(u_g, 0, None)]),
+                          0, r_max - 1)
+        u_in_ok = u_in & u_ok
+
+        # t-membership one-hot over mini rows (shared by all candidates)
+        oh_t = (db[None, None, :] == t_bin[:, :, None]) \
+            & sub_valid[None, None, :]                         # (R, cap, R)
+        oh_t = oh_t.astype(jnp.float32)
+
+        # frozen-only activities and pair mass
+        a_out_u = jnp.where((u_base["activ"] == 1) & u_ok & ~u_in,
+                            sub_accu[u_rows], 0.0)             # (R, c)
+        a_out_v = jnp.where((v_base["activ"] == 1) & v_ok & ~v_in,
+                            sub_accu[v_rows], 0.0)             # (R, cap, c)
+        o_same = jnp.sum(a_out_u, axis=1)                      # (R,) = A_out(s)
+        a_out_t = jnp.sum(a_out_v, axis=2)                     # (R, cap)
+
+        def frozen_geometry(base, krows, a_mask):
+            start_kb = base["start_bp"].astype(jnp.float32) / 1000.0
+            mid = start_kb + jnp.where(base["ori"] == 1, sub_pre[krows],
+                                       sub_suf[krows]) + sub_len[krows] * 0.5
+            return dict(mid=mid, idc=base["id_c"], circ=base["circ"],
+                        stot=base["l_cont_bp"].astype(jnp.float32) / 1000.0,
+                        a=a_mask)
+
+        gu_out = frozen_geometry(u_base, u_rows, a_out_u)
+        gv_out = frozen_geometry(v_base, v_rows, a_out_v)
+        gu4 = {k: x[:, None, :, None] for k, x in gu_out.items()}
+        gv4 = {k: x[:, :, None, :] for k, x in gv_out.items()}
+        ok4 = (u_ok & ~u_in)[:, None, :, None] \
+            & (v_ok & ~v_in)[:, :, None, :]
+        f_frozen = jnp.sum(pair_e(gu4, gv4, ok4, params, with_circ),
+                           axis=(2, 3))                        # (R, cap)
+
+        mass_ok = strict_upper & sub_valid[:, None] & sub_valid[None, :] \
+            & (db[:, None] != db[None, :])
+
+        def cand_terms(cand):
+            """(obs_term, mass) from ONE shared (R, R) mini pair grid."""
             g = mini_geometry(cand)
             gu = {k: x[:, None] for k, x in g.items()}
             gv = {k: x[None, :] for k, x in g.items()}
-            ok = strict_upper & sub_valid[:, None] & sub_valid[None, :] \
-                & (db[:, None] != db[None, :])
-            return jnp.sum(pair_e(gu, gv, ok, params, with_circ))
+            e_full = pair_e(gu, gv, jnp.bool_(True), params, with_circ)
+            mass = jnp.sum(jnp.where(mass_ok, e_full, 0.0))
+            # in-D x in-D block sums of the observed pairs
+            p_rows = jnp.where(u_in_ok[:, :, None],
+                               e_full[u_mini], 0.0)            # (R, c, R)
+            p = jnp.sum(p_rows, axis=1)                        # (R, R)
+            b = jnp.einsum("rj,rwj->rw", p, oh_t)              # (R, cap)
+            a_vec = g["a"]
+            a_bin_s = jnp.sum(jnp.where(u_in_ok, a_vec[u_mini], 0.0),
+                              axis=1)                          # (R,)
+            a_bin_t = jnp.einsum("j,rwj->rw", a_vec, oh_t)     # (R, cap)
+            e_data = f_frozen + b + params.v_inter / nfpb * (
+                a_bin_s[:, None] * a_out_t + o_same[:, None] * a_bin_t)
+            term = ob * jnp.log(jnp.where(e_data > 0.0, e_data, 1.0)) - lf
+            term = jnp.where(e_data > 0.0, term, 0.0)
+            obs = jnp.sum(jnp.where(win_valid, weight * term, 0.0))
+            return obs, mass, a_vec
 
         w_all = total_active_accu(state)
-
-        # active outside copies of each mini row's own data bin (excluded
-        # from the trans cross-term: same-bin pairs feed the data-grid
-        # diagonal, which the likelihood masks out)
-        ub_act = jnp.where((u_base["activ"] == 1) & u_ok & ~u_in,
-                           sub_accu[u_rows], 0.0)
-        o_same = jnp.sum(ub_act, axis=1)                       # (R,)
-
-        def a_of(cand):
-            return jnp.where((cand.activ[owner_slot] == 1) & sub_valid,
-                             sub_accu[mini_rows], 0.0)
-
-        a_base = a_of(mini)
+        obs_base, mass_base, a_base = cand_terms(mini)
         w_d = jnp.sum(a_base)
         w_out = w_all - w_d
 
-        obs_base = obs_term(mini)
-        mass_base = mass_grid(mini)
-
         def one(cand):
-            d_obs = obs_term(cand) - obs_base
-            d_mass = mass_grid(cand) - mass_base
+            obs_c, mass_c, a_c = cand_terms(cand)
             cross = params.v_inter / nfpb * jnp.sum(
-                (a_of(cand) - a_base) * (w_out - o_same))
-            return d_obs - d_mass - cross
+                (a_c - a_base) * (w_out - o_same))
+            return (obs_c - obs_base) - (mass_c - mass_base) - cross
 
         if candidate_batch == "vmap":
             dll = jax.vmap(one)(cands)
