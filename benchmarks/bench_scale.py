@@ -19,7 +19,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def main(n_bins=100_000, f_max=1024):
+def main(n_bins=100_000, f_max=1024, coverage=None):
     import jax
     import jax.numpy as jnp
     from graal_tpu.core import sparse
@@ -27,9 +27,16 @@ def main(n_bins=100_000, f_max=1024):
     from graal_tpu.utils.synthetic_sparse import (make_scale_genome,
                                                   scale_params,
                                                   shuffle_genome,
-                                                  simulate_sparse_contacts)
+                                                  simulate_sparse_contacts,
+                                                  thin_coverage)
 
     params = scale_params()
+    if coverage is None:
+        # full model coverage above ~200k bins is ~GBs of triplets; thin
+        # to a realistic sequencing depth (see thin_coverage)
+        coverage = 1.0 if n_bins <= 200_000 else 0.1
+    if coverage != 1.0:
+        params = thin_coverage(params, coverage)
     state, table = make_scale_genome(n_bins, max(n_bins // 5000, 4), seed=31)
     t0 = time.time()
     sobs = simulate_sparse_contacts(state, table, params, seed=31)
@@ -79,6 +86,7 @@ def main(n_bins=100_000, f_max=1024):
     print(json.dumps({
         "metric": "chr1_scale_delta_evals_per_sec_per_chip",
         "n_fragments": n_bins,
+        "coverage": coverage,
         "nnz_sym": int(sobs.rows.shape[0]),
         "f_max": f_max,
         "steps_per_s": round(n_steps / dt, 2),
@@ -97,4 +105,5 @@ def main(n_bins=100_000, f_max=1024):
 if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     f = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
-    main(n, f)
+    cov = float(sys.argv[3]) if len(sys.argv) > 3 else None
+    main(n, f, cov)

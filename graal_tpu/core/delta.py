@@ -333,16 +333,13 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
         # dynamic_slice looks tempting for the contiguous CSR runs but
         # lowers to a SERIAL while-loop of per-row slices on TPU — 3x
         # slower than the flat gather (measured via device trace).
-        # The pack dtype must be INT32 with the float lane bitcast INTO it
-        # — never the reverse: int32 indices bitcast to f32 form
-        # denormal/NaN bit patterns that the TPU pipeline canonicalises
-        # inside fused gathers (observed: window columns silently became
-        # the row's own key, zeroing the whole obs term; f32 counts
-        # round-trip through int32 losslessly).
-        packed = jnp.stack(
-            [sobs.cols,
-             jax.lax.bitcast_convert_type(sobs.vals, jnp.int32)],
-            axis=1)                                            # (nnz, 2)
+        # Built once on the SparseObs (shared by every bucket); int32 pack
+        # with the float lane bitcast INTO it — never int indices into
+        # f32: TPU fused gathers canonicalise denormal/NaN float patterns
+        # (observed: window columns silently became the row's own key,
+        # zeroing the whole obs term; f32 counts round-trip through int32
+        # losslessly).
+        packed = sobs.packed                                   # (nnz, 2)
 
         def obs_grid(subs, sub_valid):
             """(R, R) weighted observed-count matrix of the D sub rows.

@@ -97,15 +97,9 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
     cap = sobs.row_cap
     nnz = sobs.cols.shape[0]
     nfpb = jnp.float32(table.n_frags_per_bins)
-    # (col, val) packed so one gather fetches both (see core.delta — and
-    # do NOT use vmapped dynamic_slice here: it lowers to a serial
-    # per-row while-loop on TPU). INT32 pack with the float lane bitcast
-    # into it, never the reverse: int32 indices bitcast to f32 are
-    # denormal/NaN bit patterns that TPU fused gathers canonicalise
-    # (core.delta obs_grid comment has the full story).
-    packed = jnp.stack(
-        [sobs.cols,
-         jax.lax.bitcast_convert_type(sobs.vals, jnp.int32)], axis=1)
+    # (col, val) int32 pack, built once on the SparseObs (see core.delta
+    # obs_grid for the dtype and dynamic_slice rationale)
+    packed = sobs.packed
 
     sub_len = table.len_kb
     sub_pre = table.prefix_kb

@@ -54,6 +54,13 @@ class SparseObs(NamedTuple):
     row_cap: int            # max entries of any row (static gather window)
     n: int                  # K data subs
     logfact_const: float    # -sum_{s<t} log(ob!)  (reference branch structure)
+    # (col, bitcast(val)) int32 pairs so ONE gather fetches both lanes of a
+    # CSR window entry. Built ONCE here and shared by every compiled delta
+    # bucket — per-bucket construction re-captured ~8 bytes/nnz per
+    # executable (3.2 GB at 500k-fragment full coverage). INT32 pack with
+    # the float lane bitcast INTO it, never int indices into f32: TPU fused
+    # gathers canonicalise denormal/NaN float patterns (core/delta.py).
+    packed: jnp.ndarray     # (nnz_sym, 2) int32
 
 
 def _logfact_const(vals_upper: np.ndarray) -> float:
@@ -93,14 +100,19 @@ def sparse_from_coo(rows, cols, vals, n: int) -> SparseObs:
     sym.sort_indices()
     counts = np.diff(sym.indptr)
     coo = sym.tocoo()
+    cols_j = jnp.asarray(coo.col, jnp.int32)
+    vals_j = jnp.asarray(coo.data, jnp.float32)
     return SparseObs(
         rows=jnp.asarray(coo.row, jnp.int32),
-        cols=jnp.asarray(coo.col, jnp.int32),
-        vals=jnp.asarray(coo.data, jnp.float32),
+        cols=cols_j,
+        vals=vals_j,
         row_start=jnp.asarray(sym.indptr, jnp.int32),
         row_cap=int(counts.max()) if len(counts) else 1,
         n=n,
-        logfact_const=_logfact_const(sp.triu(sym, k=1).tocoo().data))
+        logfact_const=_logfact_const(sp.triu(sym, k=1).tocoo().data),
+        packed=jnp.stack(
+            [cols_j, jax.lax.bitcast_convert_type(vals_j, jnp.int32)],
+            axis=1))
 
 
 def sparse_from_dense(obs) -> SparseObs:

@@ -81,6 +81,20 @@ def _rippe_np(s, p: RippeParams):
     return np.maximum(val, v_inter)
 
 
+def thin_coverage(params: RippeParams, coverage: float) -> RippeParams:
+    """Scale the model to a lower sequencing coverage: contact
+    expectations are linear in (fact, v_inter), so thinning multiplies
+    both. Use BEFORE simulate_sparse_contacts and score with the SAME
+    thinned params. At chr1 scale full model coverage is unrealistic and
+    unwieldy (500k bins at 1.0 -> ~270M symmetric nnz, ~30 GB host;
+    0.1 -> ~30M)."""
+    import jax.numpy as jnp
+
+    return params._replace(
+        fact=jnp.float32(float(params.fact) * coverage),
+        v_inter=jnp.float32(float(params.v_inter) * coverage))
+
+
 def simulate_sparse_contacts(state: GenomeState, table: SubFragTable,
                              params: RippeParams, seed: int = 0) -> SparseObs:
     """Poisson contact map as sparse triplets; O(K * w) work and memory."""
