@@ -20,7 +20,6 @@ skipped when no bin is repeated.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from graal_tpu.core.model import RippeParams, poisson_loglik, rippe_contacts, rippe_contacts_circ

@@ -19,7 +19,6 @@ are replaced by vectorised numpy; file formats are unchanged.
 from __future__ import annotations
 
 import os
-import shutil
 
 import numpy as np
 import scipy.sparse as sp
