@@ -123,6 +123,10 @@ def cmd_run(args):
         runner, assembly = run_multilevel(cfg, cfg.sampler.level,
                                           args.to_level, fasta=args.fasta)
         runner.save_behaviour(assembly)
+        from graal_tpu.utils.plots import plot_genome_layout
+        chrom_idx = np.unique(np.asarray(runner.level.frags.chrom),
+                              return_inverse=True)[1]
+        plot_genome_layout(assembly.state, chrom_idx, cfg.output_dir)
         print(f"outputs in {cfg.output_dir}")
         return 0
     runner = Runner(cfg)
