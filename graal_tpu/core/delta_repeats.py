@@ -269,10 +269,16 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
                           0, r_max - 1)
         u_in_ok = u_in & u_ok
 
-        # t-membership one-hot over mini rows (shared by all candidates)
-        oh_t = (db[None, None, :] == t_bin[:, :, None]) \
-            & sub_valid[None, None, :]                         # (R, cap, R)
-        oh_t = oh_t.astype(jnp.float32)
+        # t-membership one-hot over mini rows, consumed in window-axis
+        # chunks: a monolithic (R, cap, R) f32 operand is ~1 GB at
+        # r_max=1536/cap=80. Chunking splits the einsum OUTPUT axis, not
+        # the reduction, so results are bitwise identical; each chunk is
+        # candidate-independent (XLA hoists it out of the candidate vmap).
+        cap_chunk = max(1, min(cap, (64 << 20) // max(4 * r_max * r_max, 1)))
+
+        def oh_t_chunk(lo):
+            return ((db[None, None, :] == t_bin[:, lo:lo + cap_chunk, None])
+                    & sub_valid[None, None, :]).astype(jnp.float32)
 
         # frozen-only activities and pair mass
         a_out_u = jnp.where((u_base["activ"] == 1) & u_ok & ~u_in,
@@ -313,11 +319,16 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
             p_rows = jnp.where(u_in_ok[:, :, None],
                                e_full[u_mini], 0.0)            # (R, c, R)
             p = jnp.sum(p_rows, axis=1)                        # (R, R)
-            b = jnp.einsum("rj,rwj->rw", p, oh_t)              # (R, cap)
             a_vec = g["a"]
+            b_parts, at_parts = [], []
+            for lo in range(0, cap, cap_chunk):
+                oh = oh_t_chunk(lo)
+                b_parts.append(jnp.einsum("rj,rwj->rw", p, oh))
+                at_parts.append(jnp.einsum("j,rwj->rw", a_vec, oh))
+            b = jnp.concatenate(b_parts, axis=1)               # (R, cap)
             a_bin_s = jnp.sum(jnp.where(u_in_ok, a_vec[u_mini], 0.0),
                               axis=1)                          # (R,)
-            a_bin_t = jnp.einsum("j,rwj->rw", a_vec, oh_t)     # (R, cap)
+            a_bin_t = jnp.concatenate(at_parts, axis=1)        # (R, cap)
             e_data = f_frozen + b + params.v_inter / nfpb * (
                 a_bin_s[:, None] * a_out_t + o_same[:, None] * a_bin_t)
             term = ob * jnp.log(jnp.where(e_data > 0.0, e_data, 1.0)) - lf
