@@ -269,6 +269,13 @@ def cmd_scale(args):
             f_max_min=args.f_max_min, f_t=args.t0,
             sample_param=not args.no_sample_param, seed=args.seed,
             init_truth=state0)
+    if args.mtm_cycles > 0:
+        final, l_mtm, m_mtm = runner.run_mtm(
+            final, n_cycles=args.mtm_cycles, f_max_min=args.f_max_min,
+            f_t=args.t0, seed=args.seed + 7)
+        metrics["likelihood"].extend(m_mtm["likelihood"])
+        metrics["n_contigs"].extend(m_mtm["n_contigs"])
+        metrics["f_max"].extend(m_mtm["f_max"])
     if getattr(args, "profile", False):
         from graal_tpu.utils import profiling
         with profiling.trace(os.path.join(args.out, "profile")):
@@ -394,6 +401,9 @@ def main(argv=None):
     p.add_argument("--chains", type=int, default=1,
                    help="independent chains sharded over the device mesh "
                         "with periodic best-genome exchange")
+    p.add_argument("--mtm-cycles", type=int, default=0,
+                   help="delta-scored MTM refinement cycles after EM "
+                        "(the start_MTM role at chr1 scale)")
     p.add_argument("--no-sample-param", action="store_true")
     p.add_argument("--no-scramble", action="store_true")
     p.add_argument("--seed", type=int, default=1)

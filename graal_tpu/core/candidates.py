@@ -83,17 +83,21 @@ def build_candidates(state: GenomeState, f_a, f_b, max_id=None) -> GenomeState:
     return _stack(cands)
 
 
-def mh_candidates(state: GenomeState, f_a, f_b) -> GenomeState:
+def mh_candidates(state: GenomeState, f_a, f_b, max_id=None) -> GenomeState:
     """13-candidate batch for the Metropolis-Hastings / MTM samplers.
 
     Mode map (all_modifications_metropolis, cuda_lib_gl.py:2651-2657 and
     pop_out_pop_in_4_mh :735-789): 0 eject, 1 flip, 2/3 insert right of B
     (pop_in_3 +/-), 4/5 insert left of B (pop_in_4 +/-), 6/7 split at A
     (up/downstream), 8 paste A-B (guarded on extremities), 9-12 transloc.
+
+    ``max_id``: pass the GLOBAL maximum contig id when ``state`` is a
+    gathered mini-state (delta scoring), as in :func:`build_candidates`.
     """
-    max_id = jnp.max(state.id_c)
+    if max_id is None:
+        max_id = jnp.max(state.id_c)
     popped = ops.pop_out(state, f_a, max_id)
-    m2 = jnp.max(popped.id_c)
+    m2 = jnp.maximum(jnp.max(popped.id_c), max_id)
 
     cands = [
         popped,

@@ -205,7 +205,7 @@ def effective_band_w(band_w: int | None, table: SubFragTable,
 
 def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
                       candidate_batch: str = "auto", band_w: int | None = None,
-                      _ablate: str | None = None):
+                      catalogue=None, _ablate: str | None = None):
     """Build the per-neighbour delta scorer.
 
     Returns ``dscore(state, f_a, f_b, params, max_id) ->
@@ -220,6 +220,11 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
     ``candidate_batch``: 'vmap' scores all 13 candidates at once (small
     pair grids), 'map' sequentially (bounded memory at large f_max);
     'auto' switches on the pair-grid size.
+
+    ``catalogue``: the 13-candidate builder applied to the mini-state —
+    defaults to the EM catalogue (core.candidates.build_candidates); pass
+    core.candidates.mh_candidates for the MTM/MH mutation indexing. Must
+    accept (state, f_a, f_b, max_id=...) and be closed under D.
 
     ``band_w``: when set, the expected-mass term is evaluated as the
     analytic trans mass plus a *banded* cis correction over the
@@ -240,6 +245,8 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
     make_delta_em_cycle / sharded cycles) apply that crossover via
     :func:`effective_band_w`.
     """
+    if catalogue is None:
+        catalogue = build_candidates
     mt = build_mini_table(table)
     f_max = min(f_max, mt.n_frags)   # top_k cannot exceed the genome
     s_max = mt.s_max
@@ -440,7 +447,7 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
         # f_b outside D only when f_b == f_a is masked upstream; if f_b is
         # not a member (can't happen: its contig is in D) argmax gives 0 —
         # the overflow/validity machinery keeps this safe regardless.
-        cands = build_candidates(mini, lf_a, lf_b, max_id=max_id)
+        cands = catalogue(mini, lf_a, lf_b, max_id=max_id)
 
         subs, sub_valid, owner_slot = sub_rows_of(rows, valid)
         subs_c = jnp.clip(subs, 0, k_subs - 1)

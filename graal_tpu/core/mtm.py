@@ -299,3 +299,111 @@ def make_mtm_cycle(table: SubFragTable, obs, jump: JumpTable, variant="mtm",
         return state, l_t, (lls, accepts, n_contigs)
 
     return cycle
+
+
+def make_delta_mtm_step(table: SubFragTable, jump: JumpTable, f_max: int,
+                        sobs, band_w: int | None = None,
+                        corrected: bool = False):
+    """MTM step with incremental (delta) candidate scoring — the chr1-scale
+    refinement sampler (repeat-free geometry; repeat tables refine with
+    the full-likelihood variant at the pyramid scales where that is
+    affordable).
+
+    Candidate log-likelihoods are reconstructed from carried anchors:
+    forward ll = l_t + dL (both passes of the MTM ratio only ever compare
+    lls through differences and softmax weights, so the anchors make the
+    delta formulation EXACTLY the absolute one). The chosen candidate is
+    committed into the full state via scatter_mini before the backward
+    pass; a step whose forward or backward mini-state overflows ``f_max``
+    is rejected outright (rare with adequately sized buckets — callers
+    grow f_max like the EM path).
+
+    Returns step(state, key, params, l_t, f_a, f_t) ->
+    (state, l_t, accepted, n_contigs).
+    """
+    from graal_tpu.core import delta as delta_mod
+    from graal_tpu.core.candidates import mh_candidates
+
+    assert not table.has_repeats, \
+        "delta MTM supports repeat-free geometry (see docstring)"
+    dscore = delta_mod.make_delta_scorer(
+        table, None, f_max, sobs=sobs,
+        band_w=delta_mod.effective_band_w(band_w, table, f_max),
+        catalogue=mh_candidates)
+
+    def weights(ll_flat, discard_flat, f_t, thresh):
+        s = ll_flat / f_t
+        mx = jnp.max(jnp.where(discard_flat, -jnp.inf, s))
+        s = jnp.where(s <= mx - thresh, -jnp.inf, s)
+        w = jnp.exp(s - mx)
+        w = jnp.where(discard_flat, 0.0, w)
+        return w, mx
+
+    def score_set(state, pivot, nb_ids, params, max_id, with_circ):
+        def one(fb):
+            return dscore.spec(state, pivot, fb, params, max_id, with_circ)
+
+        return jax.vmap(one)(nb_ids)
+
+    def step(state: GenomeState, key, params: RippeParams, l_t, f_a, f_t):
+        k_fwd, k_acc = jax.random.split(key)
+        nb_ids, nb_valid = _neighbour_set(state, f_a, jump)
+        max_id = jnp.max(state.id_c)
+        any_circ = jnp.any(state.circ == 1) | \
+            jnp.any(state.id_c[nb_ids] == state.id_c[f_a])
+
+        # ---- forward pass ----
+        def fwd(with_circ):
+            return lambda _: score_set(state, f_a, nb_ids, params, max_id,
+                                       with_circ)
+
+        dll_f, minis_f, rows_f, rvalid_f, over_f = jax.lax.cond(
+            any_circ, fwd(True), fwd(False), operand=None)
+        ll_f = l_t + dll_f
+        discard_f = _impossibility_mask(state, f_a, nb_ids) \
+            | ~nb_valid[:, None] | over_f[:, None]
+        w_f, max_f = weights(ll_f.reshape(-1), discard_f.reshape(-1), f_t,
+                             MTM_THRESH_OVERFLOW)
+        any_f = jnp.sum(w_f) > 0
+        p_f = w_f / jnp.maximum(jnp.sum(w_f), 1e-30)
+        omega = jax.random.categorical(
+            k_fwd, jnp.log(jnp.where(p_f > 0, p_f, 1e-30)))
+        sel_nb = omega // N_CANDIDATES
+        sel_op = omega % N_CANDIDATES
+        sel_mini = jax.tree.map(lambda x: x[sel_nb, sel_op], minis_f)
+        g_star = delta_mod.scatter_mini(state, sel_mini, rows_f[sel_nb],
+                                        rvalid_f[sel_nb])
+        ll_star = ll_f.reshape(-1)[omega]
+        f_star = nb_ids[sel_nb]
+
+        # ---- backward pass: pivot at f* from the committed genome ----
+        if corrected:
+            bk_ids, bk_valid = _neighbour_set(g_star, f_star, jump)
+        else:
+            bk_ids, bk_valid = nb_ids, nb_valid
+        max_id_b = jnp.max(g_star.id_c)
+        any_circ_b = jnp.any(g_star.circ == 1) | \
+            jnp.any(g_star.id_c[bk_ids] == g_star.id_c[f_star])
+
+        def bwd(with_circ):
+            return lambda _: score_set(g_star, f_star, bk_ids, params,
+                                       max_id_b, with_circ)
+
+        dll_b, _, _, _, over_b = jax.lax.cond(
+            any_circ_b, bwd(True), bwd(False), operand=None)
+        ll_b = ll_star + dll_b
+        discard_b = _impossibility_mask(g_star, f_a, bk_ids) \
+            | ~bk_valid[:, None] | over_b[:, None]
+        w_b, max_b = weights(ll_b.reshape(-1), discard_b.reshape(-1), f_t,
+                             MTM_THRESH_OVERFLOW)
+
+        ratio = jnp.exp(max_f - max_b) * jnp.sum(w_f) \
+            / jnp.maximum(jnp.sum(w_b), 1e-30)
+        ok = any_f & ~jnp.any(over_f[sel_nb]) & (jnp.sum(w_b) > 0)
+        accept = ok & (jnp.minimum(ratio, 1.0) >= jax.random.uniform(k_acc, ()))
+        new_state = GenomeState(*[jnp.where(accept, a, b)
+                                  for a, b in zip(g_star, state)])
+        new_l = jnp.where(accept, ll_star, l_t)
+        return new_state, new_l, accept, new_state.n_contigs()
+
+    return step

@@ -60,10 +60,16 @@ class ScaleRunner:
 
     def __init__(self, table: SubFragTable, sobs: sparse.SparseObs,
                  params: RippeParams, nb: mcmc.NeighbourTable | None = None,
-                 band_margin: float = 2.0, id_d=None):
+                 band_margin: float = 2.0, id_d=None, bin_csr=None,
+                 bin_norm=None):
         """``id_d``: data bin of each copy-fragment — required for repeat
         (copy-expanded) tables so the neighbour/dispatcher tables map
-        fragments to data rows; identity when omitted (repeat-free)."""
+        fragments to data rows; identity when omitted (repeat-free).
+
+        ``bin_csr``/``bin_norm``: bin-grid contact matrix and per-bin
+        accu normaliser for the MTM jumping distributions (run_mtm);
+        default to the data grid, valid when the two grids coincide
+        (one sub per bin — the synthetic scale generators)."""
         import scipy.sparse as sp
 
         self.table = table
@@ -89,6 +95,9 @@ class ScaleRunner:
         self._anchor = None
         self._cycles = {}      # f_max bucket -> compiled cycle
         self._nuis = None
+        self._bin_csr = bin_csr
+        self._bin_norm = bin_norm
+        self._id_d = np.asarray(id_d) if id_d is not None else None
 
     # ---- compiled pieces ---------------------------------------------------
     def anchor_fn(self):
@@ -267,6 +276,107 @@ class ScaleRunner:
         self.params = params
         return state, params, metrics
 
+    def run_mtm(self, state0: GenomeState, n_cycles: int, delta: int = 5,
+                steps_per_cycle: int | None = None, f_max_min: int = 256,
+                f_max_cap: int = 1 << 14, f_t: float = 1.0, seed: int = 1,
+                corrected: bool = False, chunk_steps: int = 512,
+                progress: bool = True):
+        """MTM refinement at chr1 scale (delta-scored; start_MTM's role,
+        main_gl.py:344-399). Typically run after :meth:`run` on its
+        output. Returns (state, l_t, metrics)."""
+        import jax
+        import jax.numpy as jnp
+        from graal_tpu.core import mtm as mtm_mod
+
+        assert not self.table.has_repeats, \
+            "scale MTM refines repeat-free geometry (repeat problems " \
+            "refine with pipeline.Runner.run_mtm at pyramid scales)"
+        n = state0.n_frags
+        steps = steps_per_cycle or n
+        # jumping distributions on the bin grid (falls back to the data
+        # grid when the two coincide — one sub per bin)
+        if self._bin_csr is not None:
+            bin_m, norm = self._bin_csr, self._bin_norm
+        else:
+            import scipy.sparse as sp
+
+            assert self.table.n_data_sub == n and \
+                bool(np.all(np.asarray(self.table.owner)
+                            == np.asarray(self.table.data_id))), \
+                "pass bin_csr/bin_norm when the bin and data grids differ"
+            bin_m = sp.coo_matrix(
+                (np.asarray(self.sobs.vals),
+                 (np.asarray(self.sobs.rows), np.asarray(self.sobs.cols))),
+                shape=(n, n)).tocsr()
+            norm = np.bincount(np.asarray(self.table.owner),
+                               weights=np.asarray(self.table.accu),
+                               minlength=n)
+        id_d = self._id_d if self._id_d is not None else np.arange(n)
+        jump = mtm_mod.build_jump_table(bin_m, norm, id_d, n, delta)
+
+        anchor = self.anchor_fn()
+        params = self.params
+        state = state0
+        l_t = anchor(state, params)
+        s_max = delta_mod.build_mini_table(self.table,
+                                           allow_repeats=True).s_max
+        key = jax.random.key(seed)
+        metrics = {"likelihood": [], "accept_rate": [], "n_contigs": [],
+                   "f_max": []}
+        cycles = {}   # per-call: compiled cycles close over this jump table
+        t0 = time.time()
+        for j in range(n_cycles):
+            bucket = _next_pow2(2 * max_contig_subs(state, self.table)
+                                + 2 * s_max)
+            bucket = int(np.clip(bucket, f_max_min,
+                                 min(f_max_cap, _next_pow2(n))))
+            if bucket not in cycles:
+                step = mtm_mod.make_delta_mtm_step(
+                    self.table, jump, bucket, self.sobs, band_w=self.w,
+                    corrected=corrected)
+
+                @jax.jit
+                def cycle(state, key, params, order, l_t, f_t, _step=step):
+                    def body(carry, f_a):
+                        state, key, l_t = carry
+                        key, sub = jax.random.split(key)
+                        state, l_t, acc, nc = _step(state, sub, params,
+                                                    l_t, f_a, f_t)
+                        return (state, key, l_t), (acc, nc)
+
+                    (state, key, l_t), (accs, ncs) = jax.lax.scan(
+                        body, (state, key, l_t), order)
+                    return state, l_t, accs, ncs
+
+                cycles[bucket] = cycle
+            cyc = cycles[bucket]
+            key, k_perm = jax.random.split(key)
+            order_np = np.asarray(jax.random.permutation(k_perm, n)[:steps])
+            accs_all = []
+            i = 0
+            while i < len(order_np):
+                chunk = min(chunk_steps, len(order_np) - i)
+                key, k_c = jax.random.split(key)
+                state, l_t, accs, ncs = cyc(
+                    state, k_c, params, jnp.asarray(order_np[i:i + chunk]),
+                    l_t, jnp.float32(f_t))
+                accs_all.append(np.asarray(accs))
+                i += chunk
+            l_t = anchor(state, params)   # re-anchor per cycle
+            acc_rate = float(np.mean(np.concatenate(accs_all)))
+            nc = int(np.asarray(ncs)[-1])
+            metrics["likelihood"].append(float(l_t))
+            metrics["accept_rate"].append(acc_rate)
+            metrics["n_contigs"].append(nc)
+            metrics["f_max"].append(bucket)
+            if progress:
+                print(f"scale mtm cycle {j}: loglik={float(l_t):.1f} "
+                      f"accept={acc_rate:.2f} n_contigs={nc} "
+                      f"f_max={bucket} ({time.time() - t0:.1f}s)",
+                      flush=True)
+        check_invariants(state)
+        return state, float(l_t), metrics
+
     def run_chains(self, state0: GenomeState, n_chains: int, n_cycles: int,
                    delta: int = 4, steps_per_cycle: int | None = None,
                    f_max_min: int = 256, f_max_cap: int = 1 << 14,
@@ -430,7 +540,14 @@ def from_dataset(dataset_dir: str, size: int, factor: int = 3,
     m_bin.setdiag(0)
     m_bin.eliminate_zeros()
     nb = mcmc.build_neighbour_table(m_bin, soa["id_d"], len(soa["id_d"]))
-    runner = ScaleRunner(table, sobs, params, nb=nb)
+    bin_norm = None
+    if not table.has_repeats:   # MTM jump tables (repeat-free only)
+        bin_norm = np.bincount(np.asarray(table.owner),
+                               weights=np.asarray(table.accu),
+                               minlength=lev.n_frags)
+    runner = ScaleRunner(table, sobs, params, nb=nb, id_d=soa["id_d"],
+                         bin_csr=m_bin if bin_norm is not None else None,
+                         bin_norm=bin_norm)
     extras = {"fit_bins": bins, "fit_contacts": mean_contacts,
               "fit_estim": y_estim, "v_inter": v_inter,
               "duplications": duplications, "pyramid": pyr,

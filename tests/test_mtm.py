@@ -140,3 +140,58 @@ def test_corrected_variants_refine(problem, variant):
     check_invariants(cur)
     # MTM/MH are conservative refiners; require clear improvement
     assert float(l_t) > l0 + 0.15 * (l_true - l0), (l0, float(l_t), l_true)
+
+
+def test_delta_mh_catalogue_matches_full_difference():
+    """The delta scorer with the MH catalogue must reproduce the full
+    likelihood difference of mh_candidates for every (neighbour, op)."""
+    import numpy as np
+    from graal_tpu.core import delta as dm
+    from graal_tpu.core import sparse
+    from graal_tpu.core.candidates import mh_candidates
+    from graal_tpu.core.likelihood import log_likelihood
+
+    state, table, params, obs = make_problem(seed=3, n=24)
+    sobs = sparse.sparse_from_dense(obs)
+    dsc = dm.make_delta_scorer(table, None, f_max=32, sobs=sobs,
+                               catalogue=mh_candidates)
+    obs_j = jnp.asarray(obs, jnp.float32)
+    base = float(log_likelihood(state, table, obs_j, params))
+    for f_a, f_b in ((3, 4), (7, 15), (0, 23)):
+        dll, _, _, _, over = jax.jit(
+            lambda s, a, b: dsc(s, a, b, params, jnp.max(s.id_c)))(
+            state, jnp.int32(f_a), jnp.int32(f_b))
+        assert not bool(over)
+        cands = mh_candidates(state, f_a, f_b)
+        want = np.array([
+            float(log_likelihood(jax.tree.map(lambda x: x[i], cands),
+                                 table, obs_j, params)) - base
+            for i in range(13)])
+        np.testing.assert_allclose(np.asarray(dll), want, atol=2e-2,
+                                   err_msg=f"f_a={f_a} f_b={f_b}")
+
+
+def test_scale_mtm_refines():
+    """Delta-scored MTM at scale: refinement from a perturbed genome
+    improves the likelihood, keeps invariants, and the carried anchor
+    matches a full re-anchor."""
+    from graal_tpu.scale import ScaleRunner
+    from graal_tpu.utils.synthetic_sparse import (make_scale_genome,
+                                                  scale_params,
+                                                  shuffle_genome,
+                                                  simulate_sparse_contacts)
+    from graal_tpu.core.state import check_invariants
+
+    params = scale_params()
+    state, table = make_scale_genome(240, 4, seed=13)
+    sobs = simulate_sparse_contacts(state, table, params, seed=13)
+    runner = ScaleRunner(table, sobs, params)
+    pert = shuffle_genome(state, 8, seed=14)
+    ll0 = float(runner.anchor_fn()(pert, params))
+    final, l_t, m = runner.run_mtm(pert, n_cycles=2, f_max_min=64,
+                                   seed=5, progress=False)
+    check_invariants(final)
+    assert l_t > ll0
+    assert 0.0 <= m["accept_rate"][-1] <= 1.0
+    # carried likelihood is re-anchored: metric equals a fresh evaluation
+    assert abs(l_t - float(runner.anchor_fn()(final, params))) < 1e-3
