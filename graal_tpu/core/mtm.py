@@ -407,3 +407,97 @@ def make_delta_mtm_step(table: SubFragTable, jump: JumpTable, f_max: int,
         return new_state, new_l, accept, new_state.n_contigs()
 
     return step
+
+
+def make_delta_mh_step(table: SubFragTable, jump: JumpTable, f_max: int,
+                       sobs, band_w: int | None = None,
+                       corrected: bool = False):
+    """Plain Metropolis-Hastings with incremental scoring — the delta twin
+    of :func:`make_mh_step` (see :func:`make_delta_mtm_step` for the
+    carried-anchor argument; the MH ratio additionally consumes the
+    absolute ``l_t`` for the backward return probability, which the
+    carried anchor provides directly)."""
+    from graal_tpu.core import delta as delta_mod
+    from graal_tpu.core.candidates import mh_candidates
+
+    assert not table.has_repeats, \
+        "delta MH supports repeat-free geometry (see make_delta_mtm_step)"
+    dscore = delta_mod.make_delta_scorer(
+        table, None, f_max, sobs=sobs,
+        band_w=delta_mod.effective_band_w(band_w, table, f_max),
+        catalogue=mh_candidates)
+
+    def score_set(state, pivot, nb_ids, params, max_id, with_circ):
+        def one(fb):
+            return dscore.spec(state, pivot, fb, params, max_id, with_circ)
+
+        return jax.vmap(one)(nb_ids)
+
+    def step(state: GenomeState, key, params: RippeParams, l_t, f_a, f_t):
+        k_fwd, k_acc = jax.random.split(key)
+        nb_ids, nb_valid = _neighbour_set(state, f_a, jump)
+        max_id = jnp.max(state.id_c)
+        any_circ = jnp.any(state.circ == 1) | \
+            jnp.any(state.id_c[nb_ids] == state.id_c[f_a])
+
+        def fwd(with_circ):
+            return lambda _: score_set(state, f_a, nb_ids, params, max_id,
+                                       with_circ)
+
+        dll_f, minis_f, rows_f, rvalid_f, over_f = jax.lax.cond(
+            any_circ, fwd(True), fwd(False), operand=None)
+        ll_f = l_t + dll_f
+        discard_f = _impossibility_mask(state, f_a, nb_ids) \
+            | ~nb_valid[:, None] | over_f[:, None]
+        s = ll_f.reshape(-1) / f_t
+        mx = jnp.max(jnp.where(discard_f.reshape(-1), -jnp.inf, s))
+        s = jnp.maximum(s, mx - MH_THRESH_OVERFLOW)
+        s = s - jnp.min(s)
+        w = jnp.where(discard_f.reshape(-1), 0.0, jnp.exp(s))
+        any_f = jnp.sum(w) > 0
+        p = w / jnp.maximum(jnp.sum(w), 1e-30)
+        omega = jax.random.categorical(
+            k_fwd, jnp.log(jnp.where(p > 0, p, 1e-30)))
+        sel_nb, sel_op = omega // N_CANDIDATES, omega % N_CANDIDATES
+        sel_mini = jax.tree.map(lambda x: x[sel_nb, sel_op], minis_f)
+        g_star = delta_mod.scatter_mini(state, sel_mini, rows_f[sel_nb],
+                                        rvalid_f[sel_nb])
+        ll_star = ll_f.reshape(-1)[omega]
+        p_fwd = p[omega]
+
+        # backward return probability (pivot fA, the reference's choice)
+        max_id_b = jnp.max(g_star.id_c)
+        any_circ_b = jnp.any(g_star.circ == 1) | \
+            jnp.any(g_star.id_c[nb_ids] == g_star.id_c[f_a])
+
+        def bwd(with_circ):
+            return lambda _: score_set(g_star, f_a, nb_ids, params,
+                                       max_id_b, with_circ)
+
+        dll_b, _, _, _, over_b = jax.lax.cond(
+            any_circ_b, bwd(True), bwd(False), operand=None)
+        ll_b = ll_star + dll_b
+        discard_b = _impossibility_mask(g_star, f_a, nb_ids) \
+            | ~nb_valid[:, None] | over_b[:, None]
+        sb = ll_b.reshape(-1) / f_t
+        mxb = jnp.max(jnp.where(discard_b.reshape(-1), -jnp.inf, sb))
+        target = jnp.maximum(l_t / f_t, mxb - MH_THRESH_OVERFLOW)
+        sb = jnp.maximum(sb, mxb - MH_THRESH_OVERFLOW)
+        target = target - jnp.min(sb)
+        sb = sb - jnp.min(sb)
+        wb = jnp.where(discard_b.reshape(-1), 0.0, jnp.exp(sb))
+        p_bwd = jnp.exp(target) / jnp.maximum(jnp.sum(wb), 1e-30)
+
+        if corrected:
+            ratio = jnp.exp((ll_star - l_t) / f_t) \
+                * p_bwd / jnp.maximum(p_fwd, 1e-30)
+        else:
+            ratio = jnp.exp((ll_star + p_bwd - l_t - p_fwd) / f_t)
+        ok = any_f & ~jnp.any(over_f[sel_nb]) & (jnp.sum(wb) > 0)
+        accept = ok & (jnp.minimum(ratio, 1.0) >= jax.random.uniform(k_acc, ()))
+        new_state = GenomeState(*[jnp.where(accept, a, b)
+                                  for a, b in zip(g_star, state)])
+        new_l = jnp.where(accept, ll_star, l_t)
+        return new_state, new_l, accept, new_state.n_contigs()
+
+    return step

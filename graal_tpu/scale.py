@@ -280,10 +280,11 @@ class ScaleRunner:
                 steps_per_cycle: int | None = None, f_max_min: int = 256,
                 f_max_cap: int = 1 << 14, f_t: float = 1.0, seed: int = 1,
                 corrected: bool = False, chunk_steps: int = 512,
-                progress: bool = True):
-        """MTM refinement at chr1 scale (delta-scored; start_MTM's role,
-        main_gl.py:344-399). Typically run after :meth:`run` on its
-        output. Returns (state, l_t, metrics)."""
+                variant: str = "mtm", progress: bool = True):
+        """MTM (or plain-MH, ``variant='mh'``) refinement at chr1 scale
+        (delta-scored; start_MTM's role, main_gl.py:344-399). Typically
+        run after :meth:`run` on its output. Returns
+        (state, l_t, metrics)."""
         import jax
         import jax.numpy as jnp
         from graal_tpu.core import mtm as mtm_mod
@@ -331,7 +332,9 @@ class ScaleRunner:
             bucket = int(np.clip(bucket, f_max_min,
                                  min(f_max_cap, _next_pow2(n))))
             if bucket not in cycles:
-                step = mtm_mod.make_delta_mtm_step(
+                make = mtm_mod.make_delta_mtm_step if variant == "mtm" \
+                    else mtm_mod.make_delta_mh_step
+                step = make(
                     self.table, jump, bucket, self.sobs, band_w=self.w,
                     corrected=corrected)
 

@@ -195,3 +195,25 @@ def test_scale_mtm_refines():
     assert 0.0 <= m["accept_rate"][-1] <= 1.0
     # carried likelihood is re-anchored: metric equals a fresh evaluation
     assert abs(l_t - float(runner.anchor_fn()(final, params))) < 1e-3
+
+
+def test_scale_mh_refines():
+    """Delta-scored plain MH at scale (variant='mh')."""
+    from graal_tpu.scale import ScaleRunner
+    from graal_tpu.utils.synthetic_sparse import (make_scale_genome,
+                                                  scale_params,
+                                                  shuffle_genome,
+                                                  simulate_sparse_contacts)
+    from graal_tpu.core.state import check_invariants
+
+    params = scale_params()
+    state, table = make_scale_genome(240, 4, seed=17)
+    sobs = simulate_sparse_contacts(state, table, params, seed=17)
+    runner = ScaleRunner(table, sobs, params)
+    pert = shuffle_genome(state, 8, seed=18)
+    ll0 = float(runner.anchor_fn()(pert, params))
+    final, l_t, m = runner.run_mtm(pert, n_cycles=2, f_max_min=64,
+                                   seed=5, variant="mh", progress=False)
+    check_invariants(final)
+    assert l_t > ll0
+    assert abs(l_t - float(runner.anchor_fn()(final, params))) < 1e-3
