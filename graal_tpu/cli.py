@@ -250,15 +250,10 @@ def cmd_scale(args):
         from graal_tpu.core import mcmc
         state = jax.jit(mcmc.explode_genome)(state)
     if args.chains > 1:
-        if not args.no_sample_param:
-            print("note: --chains runs fix the fitted model parameters "
-                  "(per-chain nuisance sampling would need per-chain "
-                  "params; run a final single-chain pass to resample)",
-                  flush=True)
         final, best_ll, metrics = runner.run_chains(
             state, n_chains=args.chains, n_cycles=args.cycles,
             delta=args.neighbours, f_max_min=args.f_max_min, f_t=args.t0,
-            seed=args.seed)
+            sample_param=not args.no_sample_param, seed=args.seed)
         metrics = {"likelihood": metrics["best"],
                    "n_contigs": [int(final.n_contigs())],
                    "dist_init_genome": [], "overflow": [],

@@ -240,7 +240,8 @@ def make_sharded_em_step(mesh: Mesh, table: SubFragTable, obs,
 
 def make_sharded_delta_cycle(mesh: Mesh, table: SubFragTable, nb,
                              delta: int, f_max: int, obs=None, sobs=None,
-                             band_w: int | None = None):
+                             band_w: int | None = None,
+                             per_chain_params: bool = False):
     """Chains-sharded chr1-scale cycle: every chain runs the mini-state
     delta EM scan on its own device(s); observed contacts are read through
     ``sobs`` (sparse CSR windows, replicated — the sparse triplets are
@@ -250,7 +251,9 @@ def make_sharded_delta_cycle(mesh: Mesh, table: SubFragTable, nb,
     scorer's pair grids are tiny (f_max^2), so the parallel axis worth
     spending devices on is chains (tempered or independent restarts), not
     rows. Returns cycle(states, keys, params, orders, l_ts, f_ts) ->
-    (states, l_ts) with leading dim n_chains on every arg.
+    (states, l_ts) with leading dim n_chains on every arg
+    (``per_chain_params``: params too — chains then carry their own
+    nuisance parameters).
     """
     from graal_tpu.core import delta as delta_mod
 
@@ -267,11 +270,13 @@ def make_sharded_delta_cycle(mesh: Mesh, table: SubFragTable, nb,
         (state, key, l_t), _ = jax.lax.scan(body, (state, key, l_t), order)
         return state, l_t
 
-    batched = jax.vmap(one_chain, in_axes=(0, 0, None, 0, 0, 0))
+    p_ax = 0 if per_chain_params else None
+    p_spec = P("chains") if per_chain_params else P()
+    batched = jax.vmap(one_chain, in_axes=(0, 0, p_ax, 0, 0, 0))
     sharded = shard_map(
         batched, mesh=mesh,
-        in_specs=(P("chains"), P("chains"), P(), P("chains"), P("chains"),
-                  P("chains")),
+        in_specs=(P("chains"), P("chains"), p_spec, P("chains"),
+                  P("chains"), P("chains")),
         out_specs=(P("chains"), P("chains")), check_vma=False)
     return jax.jit(sharded)
 

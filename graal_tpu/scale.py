@@ -89,9 +89,14 @@ class ScaleRunner:
         self.nb = nb
         self.w = sparse.band_width(np.asarray(table.len_kb),
                                    float(params.d_max), margin=band_margin)
-        # nuisance d_max proposals must stay inside the band coverage
-        self.max_covered_d_max = float(
-            np.sort(np.asarray(table.len_kb))[: self.w].sum())
+        # nuisance d_max proposals must stay inside the band coverage;
+        # when the band spans every pair (w >= K-1, small problems) the
+        # banded evaluation is exact for ANY d_max — no cap
+        if self.w >= table.n_subs - 1:
+            self.max_covered_d_max = float("inf")
+        else:
+            self.max_covered_d_max = float(
+                np.sort(np.asarray(table.len_kb))[: self.w].sum())
         self._anchor = None
         self._cycles = {}      # f_max bucket -> compiled cycle
         self._nuis = None
@@ -384,14 +389,21 @@ class ScaleRunner:
                    delta: int = 4, steps_per_cycle: int | None = None,
                    f_max_min: int = 256, f_max_cap: int = 1 << 14,
                    f_t: float = 1.0, exchange_every: int = 2, seed: int = 1,
-                   chunk_steps: int = 512, progress: bool = True):
+                   sample_param: bool = False, chunk_steps: int = 512,
+                   progress: bool = True):
         """N independent chains from ``state0`` (distinct RNG streams),
         sharded over a (chains, rows) mesh when the device count allows —
         the chr1-scale multi-chip shape: the delta pair grids are tiny, so
         devices go to chains, not rows (module docstring). Every
         ``exchange_every`` cycles the argmax-likelihood genome is
         broadcast to all chains (parallel.sharding.make_chain_exchange).
-        Returns (best_state, best_ll, metrics).
+
+        ``sample_param``: per-chain nuisance-parameter Metropolis once per
+        cycle (each chain carries its OWN parameter vector; selection is
+        shift-invariant per chain, genome exchange keeps per-chain params
+        and re-anchors under them). Returns
+        (best_state, best_ll, metrics) — with sample_param, metrics also
+        carries the best chain's final params under "params".
         """
         import jax
         import jax.numpy as jnp
@@ -404,9 +416,19 @@ class ScaleRunner:
         states = jax.tree.map(
             lambda x: jnp.broadcast_to(x, (n_chains,) + x.shape), state0)
         anchor = self.anchor_fn()
-        params = self.params
-        l_ts = jnp.broadcast_to(anchor(state0, params), (n_chains,))
+        params_c = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (n_chains,) + jnp.shape(x)),
+            self.params)
+        l_ts = jnp.broadcast_to(anchor(state0, self.params), (n_chains,))
         exchange = make_chain_exchange(mesh)
+        anchor_c = jax.jit(jax.vmap(anchor))
+        nuis_c = None
+        if sample_param:
+            nuis = mcmc.make_nuisance_step(
+                self.table, None,
+                scorer=lambda sb, p: jax.vmap(lambda s: anchor(s, p))(sb),
+                d_max_cap=self.max_covered_d_max)
+            nuis_c = jax.jit(jax.vmap(nuis, in_axes=(0, 0, 0, 0, None)))
         s_max = delta_mod.build_mini_table(self.table,
                                            allow_repeats=True).s_max
         key = jax.random.key(seed)
@@ -423,7 +445,7 @@ class ScaleRunner:
             if bucket not in cycles:
                 cycles[bucket] = make_sharded_delta_cycle(
                     mesh, self.table, self.nb, delta=delta, f_max=bucket,
-                    sobs=self.sobs, band_w=self.w)
+                    sobs=self.sobs, band_w=self.w, per_chain_params=True)
             key, k_perm = jax.random.split(key)
             order = jax.vmap(lambda k: jax.random.permutation(k, n)[:steps])(
                 jax.random.split(k_perm, n_chains))
@@ -434,13 +456,21 @@ class ScaleRunner:
                 key, k_cyc = jax.random.split(key)
                 seg = jnp.asarray(order_np[:, i:i + chunk])
                 states, l_ts = cycles[bucket](
-                    states, jax.random.split(k_cyc, n_chains), params, seg,
-                    l_ts, jnp.full((n_chains,), f_t, jnp.float32))
+                    states, jax.random.split(k_cyc, n_chains), params_c,
+                    seg, l_ts, jnp.full((n_chains,), f_t, jnp.float32))
                 i += chunk
-            # re-anchor each chain (f32 drift control, as in run())
-            l_ts = jax.vmap(lambda s: anchor(s, params))(states)
+            # re-anchor each chain under its own params (f32 drift control)
+            l_ts = anchor_c(states, params_c)
+            if nuis_c is not None:
+                key, k_nu = jax.random.split(key)
+                params_c, l_ts, _ = nuis_c(
+                    states, jax.random.split(k_nu, n_chains), params_c,
+                    l_ts, jnp.float32(f_t))
             if exchange_every and (j + 1) % exchange_every == 0:
-                states, l_ts = exchange(states, l_ts)
+                states, _ = exchange(states, l_ts)
+                # chains keep their own params; the broadcast genome's
+                # likelihood differs per chain -> re-anchor
+                l_ts = anchor_c(states, params_c)
             lls = np.asarray(l_ts)
             metrics["likelihood"].append(lls.tolist())
             metrics["best"].append(float(lls.max()))
@@ -453,6 +483,9 @@ class ScaleRunner:
         final = jax.tree.map(lambda x: np.asarray(x[best]), states)
         final = GenomeState(*[jnp.asarray(a) for a in final])
         check_invariants(final)
+        if sample_param:
+            metrics["params"] = RippeParams(
+                *[jnp.asarray(np.asarray(x)[best]) for x in params_c])
         return final, float(np.asarray(l_ts)[best]), metrics
 
 

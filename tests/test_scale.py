@@ -222,3 +222,21 @@ def test_scale_multilevel_warm_start(tmp_path):
     assert final.n_frags == lev.n_frags
     # the finer level must not regress below the coarse recovery
     assert per_level[-1]["dist_init_genome"][-1] <= 0.1
+
+
+def test_run_chains_sample_param():
+    """Per-chain nuisance sampling inside multi-chain runs: chains carry
+    their own parameter vectors and the run still improves."""
+    params = scale_params()
+    state, table = make_scale_genome(240, 4, seed=25)
+    sobs = simulate_sparse_contacts(state, table, params, seed=25)
+    runner = ScaleRunner(table, sobs, params)
+    shuf = shuffle_genome(state, 8, seed=26)
+    ll0 = float(runner.anchor_fn()(shuf, params))
+    final, best_ll, m = runner.run_chains(
+        shuf, n_chains=4, n_cycles=2, f_max_min=64, exchange_every=1,
+        sample_param=True, seed=3, progress=False)
+    check_invariants(final)
+    assert best_ll > ll0
+    assert float(m["params"].fact) > 0
+    assert float(m["params"].d_max) <= runner.max_covered_d_max + 1e-3
