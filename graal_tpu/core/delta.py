@@ -493,7 +493,8 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
 def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
                       sobs=None, candidate_batch: str = "auto",
                       neighbour_batch: str = "auto",
-                      band_w: int | None = None):
+                      band_w: int | None = None,
+                      thresh_overflow: float | None = None):
     """EM step with delta scoring (shift-equivalent to absolute scores: the
     selection filter is shift-invariant). Returns
     step(state, key, params, l_t, f_a, f_t) ->
@@ -510,8 +511,11 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
     'map' runs them sequentially (lower peak memory). 'auto' vmaps up to
     r_max 2048.
     """
-    from graal_tpu.core.mcmc import sample_neighbours, select_score_slot
+    from graal_tpu.core.mcmc import (THRESH_OVERFLOW, sample_neighbours,
+                                     select_score_slot)
 
+    if thresh_overflow is None:
+        thresh_overflow = THRESH_OVERFLOW
     if table.has_repeats:
         # copy-expanded tables route to the repeat-aware scorer (data-grid
         # copy aggregation); band decomposition does not apply there
@@ -563,7 +567,8 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
         m = ids.shape[0]
         slot_ok = jnp.broadcast_to(~overflow[:, None], (m, N_CANDIDATES))
 
-        sel = select_score_slot(k_sel, dll, valid, f_t, slot_valid=slot_ok)
+        sel = select_score_slot(k_sel, dll, valid, f_t, slot_valid=slot_ok,
+                                thresh_overflow=thresh_overflow)
         sel_nb = sel // N_CANDIDATES
         sel_op = sel % N_CANDIDATES
         sel_mini = jax.tree.map(lambda x: x[sel_nb, sel_op], minis)
@@ -591,7 +596,8 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
 def make_delta_em_cycle(table: SubFragTable, obs, nb, delta: int, f_max: int,
                         sobs=None, anchor_fn=None,
                         candidate_batch: str = "auto",
-                        band_w: int | None = None):
+                        band_w: int | None = None,
+                        thresh_overflow: float | None = None):
     """Full delta-scored EM cycle as a lax.scan, with a final full
     re-anchoring of the likelihood.
 
@@ -603,7 +609,8 @@ def make_delta_em_cycle(table: SubFragTable, obs, nb, delta: int, f_max: int,
     from graal_tpu.core.likelihood import log_likelihood
 
     step = make_delta_em_step(table, obs, nb, delta, f_max, sobs=sobs,
-                              candidate_batch=candidate_batch, band_w=band_w)
+                              candidate_batch=candidate_batch, band_w=band_w,
+                              thresh_overflow=thresh_overflow)
     if anchor_fn is False:
         def anchor_fn(state, params, l_t=None):
             return l_t

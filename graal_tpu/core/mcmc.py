@@ -175,7 +175,8 @@ def sample_neighbours(key, f_a, state: GenomeState, nb: NeighbourTable, delta: i
     return ids[order], valid[order]
 
 
-def select_score_slot(key, score, valid_nb, f_t, slot_valid=None):
+def select_score_slot(key, score, valid_nb, f_t, slot_valid=None,
+                      thresh_overflow=THRESH_OVERFLOW):
     """Filter / temper / sample one (neighbour, op) slot.
 
     Exactly the reference's host logic (cuda_lib_gl.py:1899-1947): drop
@@ -202,7 +203,7 @@ def select_score_slot(key, score, valid_nb, f_t, slot_valid=None):
     score_min = jnp.min(jnp.where(valid_flat, flat, jnp.inf))
     filtered = jnp.where(valid_flat, flat - score_min, 0.0)
     max_score = jnp.max(filtered)
-    filtered = jnp.maximum(filtered - (max_score - THRESH_OVERFLOW), 0.0)
+    filtered = jnp.maximum(filtered - (max_score - thresh_overflow), 0.0)
     filtered = jnp.where(valid_flat, filtered, 0.0)
 
     n_pos = jnp.sum(filtered > 0)
@@ -214,7 +215,8 @@ def select_score_slot(key, score, valid_nb, f_t, slot_valid=None):
 
 
 def make_em_step(table: SubFragTable, obs, nb: NeighbourTable, delta: int,
-                 ll_dtype=jnp.float32, scorer=None):
+                 ll_dtype=jnp.float32, scorer=None,
+                 thresh_overflow=THRESH_OVERFLOW):
     """Build the jitted single-fragment EM step.
 
     Returns step(state, key, params, f_a, f_t) ->
@@ -241,7 +243,8 @@ def make_em_step(table: SubFragTable, obs, nb: NeighbourTable, delta: int,
             ll = jax.vmap(jax.vmap(
                 lambda c: log_likelihood(c, table, obs, params, dtype=ll_dtype)))(cands)
 
-        sel = select_score_slot(k_sel, ll.astype(jnp.float32), valid, f_t)
+        sel = select_score_slot(k_sel, ll.astype(jnp.float32), valid, f_t,
+                                thresh_overflow=thresh_overflow)
         sel_nb = sel // N_CANDIDATES
         sel_op = sel % N_CANDIDATES
         new_state = jax.tree.map(lambda x: x[sel_nb, sel_op], cands)
@@ -391,11 +394,12 @@ class CycleMetrics(NamedTuple):
 
 def make_em_cycle(table: SubFragTable, obs, nb: NeighbourTable, delta: int,
                   sample_param: bool = True, ll_dtype=jnp.float32,
-                  scorer=None):
+                  scorer=None, thresh_overflow=THRESH_OVERFLOW):
     """One EM cycle (all fragments in the given order) as a single scan —
     the device-side equivalent of the start_EM inner loop
     (main_gl.py:225-278)."""
-    em_step = make_em_step(table, obs, nb, delta, ll_dtype, scorer=scorer)
+    em_step = make_em_step(table, obs, nb, delta, ll_dtype, scorer=scorer,
+                           thresh_overflow=thresh_overflow)
     nuis_step = make_nuisance_step(table, obs, ll_dtype, scorer=scorer)
 
     @jax.jit

@@ -287,7 +287,8 @@ class Runner:
         cycle = mcmc.make_em_cycle(self.table, self.obs, self.nb,
                                    delta=cfg.sampler.n_neighbours,
                                    sample_param=sample_param,
-                                   scorer=scorer)
+                                   scorer=scorer,
+                                   thresh_overflow=cfg.sampler.thresh_overflow)
         state = self.state
         if cfg.sampler.scrambled:
             state = jax.jit(mcmc.explode_genome)(state)
@@ -409,7 +410,8 @@ class Runner:
             if bucket not in cycles:
                 cycles[bucket] = delta_mod.make_delta_em_cycle(
                     self.table, self.obs, self.nb,
-                    delta=cfg.sampler.n_neighbours, f_max=bucket, sobs=sobs)
+                    delta=cfg.sampler.n_neighbours, f_max=bucket, sobs=sobs,
+                    thresh_overflow=cfg.sampler.thresh_overflow)
             key, k_perm, k_cycle, k_nuis = jax.random.split(key, 4)
             order = jax.random.permutation(k_perm, n)
             f_t = temperature_schedule(cfg.sampler, j, n_cycles)

@@ -62,6 +62,34 @@ def test_selection_argmax_fallback():
     assert sel == 1 * 13 + 4
 
 
+def test_selection_thresh_overflow_widens_window():
+    """The plumbed thresh_overflow knob (SamplerConfig.thresh_overflow ->
+    select_score_slot) changes the filter support: a score 40 below the max
+    is excluded under the default 30-window but survives a 50-window."""
+    rng = np.random.default_rng(3)
+    m, n_ops = 2, 13
+    score = np.full((m, n_ops), -500.0, np.float32)
+    score[0, 3] = -100.0
+    score[1, 5] = -140.0   # 40 below the max
+    valid = np.ones(m, bool)
+
+    def freq(thresh):
+        keys = jax.random.split(jax.random.key(7), 3000)
+        sel = jax.jit(jax.vmap(lambda k: mcmc.select_score_slot(
+            k, jnp.asarray(score), jnp.asarray(valid), jnp.float32(1.0),
+            thresh_overflow=thresh)))(keys)
+        counts = np.bincount(np.asarray(sel), minlength=m * n_ops) / 3000
+        return counts[1 * n_ops + 5]
+
+    assert freq(30.0) == 0.0        # <=1 survivor -> argmax fallback
+    assert freq(50.0) > 0.05        # wide window: the second slot samples
+
+    # and the reference_filter oracle agrees for the wide window
+    idx_ref, _ = reference_filter(
+        score.reshape(-1).astype(np.float64), thresh=50.0)
+    assert 1 * n_ops + 5 in idx_ref
+
+
 def test_neighbour_sampling_prefers_strong_contacts():
     """Sampling frequencies follow the contacts^3 proposal distribution."""
     n = 12
