@@ -24,5 +24,13 @@ A from-scratch re-design of GRAAL (Marie-Nelly et al., Nat. Commun. 5:5695,
 
 __version__ = "0.1.0"
 
+# Lower closed-over device buffers as executable ARGUMENTS, not embedded
+# HLO constants — required for the chr1-scale sparse buffers on
+# relay-attached TPUs and a per-executable memory win everywhere
+# (see utils/hoistconst.py for the full story).
+from graal_tpu.utils import hoistconst as _hoistconst
+
+_hoistconst.enable()
+
 from graal_tpu.core.state import GenomeState  # noqa: F401
 from graal_tpu.core.model import RippeParams  # noqa: F401

@@ -34,6 +34,19 @@ DEFAULT_D = 3.0
 # Stirling cutoff for the Poisson log-pmf (kernels3.cu:174,196).
 _STIRLING_LIM = 15.0
 _LOG_FACT_TABLE = tuple(math.lgamma(n + 1) for n in range(10))
+_LOG_FACT_DEVICE = None
+
+
+def _log_fact_device_table():
+    """The 10-entry lgamma table as a cached committed device array (see
+    the note in _log_factorial_ref)."""
+    global _LOG_FACT_DEVICE
+    if _LOG_FACT_DEVICE is None:
+        import jax
+
+        _LOG_FACT_DEVICE = jax.device_put(
+            np.asarray(_LOG_FACT_TABLE, np.float32))
+    return _LOG_FACT_DEVICE
 
 
 class RippeParams(NamedTuple):
@@ -126,8 +139,12 @@ def _log_factorial_ref(ob: jnp.ndarray) -> jnp.ndarray:
     0 < ob < 15 in the log-pmf.
     """
     n = jnp.floor(ob)
-    # Exact branch via a 10-entry lgamma table (== log of the exact product).
-    table = jnp.asarray(_LOG_FACT_TABLE, jnp.float32)
+    # Exact branch via a 10-entry lgamma table (== log of the exact
+    # product). Materialised as a committed DEVICE array once — a python
+    # tuple/numpy literal inside the trace would become a TypedNdArray
+    # constant, which the constants-as-arguments lowering
+    # (utils/hoistconst.py) cannot pass through jit dispatch in jax 0.9.
+    table = _log_fact_device_table()
     idx = jnp.clip(n.astype(jnp.int32), 0, 9)
     exact = table[idx]
     stirling = n * jnp.log(n) - n + 0.5 * jnp.log(2.0 * np.pi * n)
