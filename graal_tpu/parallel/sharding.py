@@ -281,6 +281,129 @@ def make_sharded_delta_cycle(mesh: Mesh, table: SubFragTable, nb,
     return jax.jit(sharded)
 
 
+def make_sharded_sparse_anchor(mesh: Mesh, table: SubFragTable, sobs,
+                               w: int):
+    """Rows-sharded chr1-scale sparse full-likelihood re-anchor.
+
+    The sparse evaluation (core.sparse.make_sparse_loglik) is
+    O(nnz + K log K + K*w); at 500k fragments with ~267M symmetric nnz a
+    replicated single-device pass costs multiple seconds once per cycle
+    per chain. Here the two big terms are sharded over the ``rows`` mesh
+    axis and psum-reduced over ICI:
+
+    - the observed-pair sum: nnz triplets split into contiguous shards
+      (each device holds nnz/D triplets — also a D-fold memory saving),
+    - the banded cis correction: each device takes a contiguous chunk of
+      the genome-sorted sub order as band left-ends (the O(K log K) sort
+      itself is replicated — it is tiny next to the K*w band).
+
+    The analytic trans mass and the logfact constant are replicated
+    scalars added outside the psum.
+
+    Returns fn(states, params) -> l_ts with leading dim n_chains, chains
+    sharded over the ``chains`` mesh axis (size 1 collapses to pure row
+    sharding). Repeat-free tables only — copy-expanded tables re-anchor
+    with the local variant.
+    """
+    from graal_tpu.core.sparse import genome_sort_order
+
+    assert not table.has_repeats, \
+        "sharded sparse anchor: repeat tables re-anchor locally"
+    n_rows_ax = mesh.shape["rows"]
+    k = table.n_subs
+    owner = table.owner
+    accu = table.accu
+    nfpb = jnp.float32(table.n_frags_per_bins)
+
+    # nnz triplets, padded to a rows-axis multiple; padded vals are 0 and
+    # masked out of term1
+    u_np = np.asarray(sobs.rows)
+    v_np = np.asarray(sobs.cols)
+    x_np = np.asarray(sobs.vals, np.float32)
+    pad = (-len(u_np)) % n_rows_ax
+    u_np = np.pad(u_np, (0, pad))
+    v_np = np.pad(v_np, (0, pad))
+    x_np = np.pad(x_np, (0, pad))
+    shard = NamedSharding(mesh, P("rows"))
+    u_s = jax.device_put(jnp.asarray(u_np, jnp.int32), shard)
+    v_s = jax.device_put(jnp.asarray(v_np, jnp.int32), shard)
+    x_s = jax.device_put(jnp.asarray(x_np, jnp.float32), shard)
+
+    # band chunking: device d owns sorted left-ends [d*chunk, (d+1)*chunk)
+    chunk = -(-k // n_rows_ax)
+    k_pad = chunk * n_rows_ax + w   # partner slices never run off the end
+
+    def pad_tail(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((k_pad - k,), fill, x.dtype)])
+
+    def local_ll(state: GenomeState, params: RippeParams, u, v, x, lo):
+        order, mid = genome_sort_order(state, table)
+        idc = state.id_c[owner]
+        circ = state.circ[owner]
+        stot = state.l_cont_bp[owner].astype(jnp.float32) / 1000.0
+
+        # term1: this device's observed-pair shard
+        s = jnp.abs(mid[u] - mid[v])
+        same = idc[u] == idc[v]
+        na = accu[u] * accu[v] / nfpb
+        e_obs = expected_contacts(s, same, circ[u] == 1,
+                                  stot[u].astype(jnp.float32), na, params)
+        term1 = 0.5 * jnp.sum(
+            jnp.where(x != 0.0, x * jnp.log(e_obs), 0.0))
+
+        # term2b: banded cis correction over this device's sorted chunk
+        mid_s = pad_tail(mid[order], jnp.float32(0.0))
+        idc_s = pad_tail(idc[order], jnp.int32(-1))   # -1 != any contig
+        circ_s = pad_tail(circ[order], jnp.int32(0))
+        stot_s = pad_tail(stot[order], jnp.float32(1.0))
+        accu_s = pad_tail(accu[order], jnp.float32(0.0))
+        seg = lambda a, off: jax.lax.dynamic_slice(a, (lo + off,), (chunk,))
+        mid_l, idc_l = seg(mid_s, 0), seg(idc_s, 0)
+        circ_l, stot_l, accu_l = seg(circ_s, 0), seg(stot_s, 0), seg(accu_s, 0)
+        gidx = lo + jnp.arange(chunk)
+
+        def body(off, acc):
+            mid_r = seg(mid_s, off)
+            idc_r = seg(idc_s, off)
+            accu_r = seg(accu_s, off)
+            valid = (gidx + off < k) & (gidx < k)
+            s = jnp.abs(mid_l - mid_r)
+            same = (idc_l == idc_r) & valid
+            na = accu_l * accu_r / nfpb
+            e_cis = expected_contacts(s, same, circ_l == 1, stot_l, na,
+                                      params)
+            corr = jnp.where(same, e_cis - params.v_inter * na, 0.0)
+            return acc + jnp.sum(corr)
+
+        cis_corr = jax.lax.fori_loop(1, w + 1, body, jnp.float32(0.0))
+        return term1 - cis_corr
+
+    a_np = np.asarray(accu, np.float64)
+    trans_mass = float((a_np.sum() ** 2 - (a_np * a_np).sum()) * 0.5
+                       / float(table.n_frags_per_bins))
+    const = jnp.float32(sobs.logfact_const)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("chains"), P("chains"), P("rows"), P("rows"), P("rows")),
+        out_specs=P("chains"), check_vma=False)
+    def sharded(states, params_b, u, v, x):
+        lo = jax.lax.axis_index("rows") * chunk
+        part = jax.vmap(
+            lambda s, p: local_ll(s, p, u, v, x, lo))(states, params_b)
+        part = jax.lax.psum(part, "rows")
+        return jax.vmap(
+            lambda pt, p: pt - p.v_inter * trans_mass + const)(
+            part, params_b)
+
+    @jax.jit
+    def fn(states, params_b):
+        return sharded(states, params_b, u_s, v_s, x_s)
+
+    return fn
+
+
 def make_chain_exchange(mesh: Mesh):
     """Best-genome exchange across chains: all-gather per-chain likelihoods,
     broadcast the argmax genome to every chain (the periodic exchange of the

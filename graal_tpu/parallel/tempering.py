@@ -98,6 +98,11 @@ def pt_swap(states: GenomeState, l_ts, ladder, key, parity):
     state batches (the permutation gather lowers to a collective when
     sharded).
 
+    ``states`` may be ANY pytree of chain-leading arrays — e.g.
+    ``(genome_states, per_chain_params)`` when each chain carries its own
+    nuisance parameters (the joint chain state migrates as a unit, which
+    is canonical PT on the joint target exp(L(genome; params)/T_i)).
+
     Returns (states, l_ts, accept_mask (n_chains-1,)).
     """
     n = l_ts.shape[0]
@@ -110,7 +115,7 @@ def pt_swap(states: GenomeState, l_ts, ladder, key, parity):
     acc_hi = jnp.zeros(n, bool).at[1:].set(accept)
     src = jnp.where(acc_lo, idx + 1, jnp.where(acc_hi, idx - 1, idx))
     out = jax.tree.map(lambda x: x[src], states)
-    return GenomeState(*out), l_ts[src], accept
+    return out, l_ts[src], accept
 
 
 def run_tempered(table: SubFragTable, obs, nb, state0: GenomeState,

@@ -107,3 +107,41 @@ def test_sharded_likelihood_with_repeats():
     got = float(fn(state, params))
     want = float(likelihood.log_likelihood(state, table, obs, params))
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=0.5)
+
+
+def test_sharded_sparse_anchor_matches_local():
+    """Rows-sharded chr1-scale sparse anchor == local sparse evaluation,
+    for several chain states and per-chain params (8 virtual devices)."""
+    from graal_tpu.core import sparse
+    from graal_tpu.parallel.sharding import make_sharded_sparse_anchor
+    from graal_tpu.utils.synthetic_sparse import (make_scale_genome,
+                                                  scale_params,
+                                                  shuffle_genome,
+                                                  simulate_sparse_contacts)
+
+    params = scale_params()
+    state, table = make_scale_genome(200, 4, seed=31)
+    sobs = simulate_sparse_contacts(state, table, params, seed=31)
+    w = sparse.band_width(np.asarray(table.len_kb), float(params.d_max))
+    local = jax.jit(sparse.make_sparse_loglik(table, sobs, w))
+
+    chains = [state, shuffle_genome(state, 5, seed=32),
+              shuffle_genome(state, 9, seed=33),
+              mcmc.explode_genome(state)]
+    states = GenomeState(*[jnp.stack([np.asarray(getattr(c, f))
+                                      for c in chains])
+                           for f in state._fields])
+    params_c = RippeParams(*[
+        jnp.asarray([float(x) * (1.0 + 0.01 * c) for c in range(4)])
+        for x in params])
+
+    mesh = make_mesh(n_chains=2, n_rows=4)
+    anchor = make_sharded_sparse_anchor(mesh, table, sobs, w)
+    got = np.asarray(anchor(states, params_c))
+    want = np.asarray([
+        float(local(GenomeState(*[x[c] for x in states]),
+                    RippeParams(*[x[c] for x in params_c])))
+        for c in range(4)])
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1.0)
+    # states must differ enough that this is a real 4-way check
+    assert len(np.unique(want.round(2))) >= 3
