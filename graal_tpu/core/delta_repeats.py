@@ -77,15 +77,24 @@ def build_copy_table(table: SubFragTable) -> CopyTable:
 
 
 def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
-                             candidate_batch: str = "vmap"):
+                             candidate_batch: str = "vmap",
+                             catalogue=None):
     """Repeat-aware delta scorer over CSR windows of the data grid.
 
     ``sobs``: core.sparse.SparseObs on the data grid (dense callers convert
     via sparse.sparse_from_dense — the repeat path is window-only).
 
+    ``catalogue``: the 13-candidate builder applied to the mini-state —
+    defaults to the EM catalogue (core.candidates.build_candidates); pass
+    core.candidates.mh_candidates for the MH/MTM samplers (the dispatcher
+    machinery is shared across samplers in the reference too,
+    cuda_lib_gl.py:2936-3069 with kernels3.cu:2895-2929).
+
     Returns the same ``(dscore, dscore.spec)`` contract as
     core.delta.make_delta_scorer.
     """
+    if catalogue is None:
+        catalogue = build_candidates
     mt = build_mini_table(table, allow_repeats=True)
     ct = build_copy_table(table)
     f_max = min(f_max, mt.n_frags)
@@ -162,7 +171,7 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
         mini = gather_mini(state, rows, valid)
         lf_a = jnp.argmax(rows == f_a).astype(jnp.int32)
         lf_b = jnp.argmax(rows == f_b).astype(jnp.int32)
-        cands = build_candidates(mini, lf_a, lf_b, max_id=max_id)
+        cands = catalogue(mini, lf_a, lf_b, max_id=max_id)
 
         subs, sub_valid, owner_slot = sub_rows_of(rows, valid)
         subs_c = jnp.clip(subs, 0, k_subs - 1)

@@ -301,13 +301,32 @@ def make_mtm_cycle(table: SubFragTable, obs, jump: JumpTable, variant="mtm",
     return cycle
 
 
+def _delta_mh_scorer(table: SubFragTable, f_max: int, sobs,
+                     band_w: int | None, catalogue):
+    """Incremental scorer for the MH/MTM samplers: banded pair-grid engine
+    for repeat-free tables, copy-summing data-grid engine for
+    copy-expanded ones (the reference drives both samplers through the
+    same dispatcher machinery, cuda_lib_gl.py:2936-3069 +
+    kernels3.cu:2895-2929)."""
+    from graal_tpu.core import delta as delta_mod
+
+    if table.has_repeats:
+        from graal_tpu.core import delta_repeats
+
+        return delta_repeats.make_repeat_delta_scorer(
+            table, f_max, sobs, catalogue=catalogue)
+    return delta_mod.make_delta_scorer(
+        table, None, f_max, sobs=sobs,
+        band_w=delta_mod.effective_band_w(band_w, table, f_max),
+        catalogue=catalogue)
+
+
 def make_delta_mtm_step(table: SubFragTable, jump: JumpTable, f_max: int,
                         sobs, band_w: int | None = None,
                         corrected: bool = False):
     """MTM step with incremental (delta) candidate scoring — the chr1-scale
-    refinement sampler (repeat-free geometry; repeat tables refine with
-    the full-likelihood variant at the pyramid scales where that is
-    affordable).
+    refinement sampler. Copy-expanded (repeat) tables route to the
+    repeat-aware delta engine (core.delta_repeats) with the MH catalogue.
 
     Candidate log-likelihoods are reconstructed from carried anchors:
     forward ll = l_t + dL (both passes of the MTM ratio only ever compare
@@ -324,12 +343,7 @@ def make_delta_mtm_step(table: SubFragTable, jump: JumpTable, f_max: int,
     from graal_tpu.core import delta as delta_mod
     from graal_tpu.core.candidates import mh_candidates
 
-    assert not table.has_repeats, \
-        "delta MTM supports repeat-free geometry (see docstring)"
-    dscore = delta_mod.make_delta_scorer(
-        table, None, f_max, sobs=sobs,
-        band_w=delta_mod.effective_band_w(band_w, table, f_max),
-        catalogue=mh_candidates)
+    dscore = _delta_mh_scorer(table, f_max, sobs, band_w, mh_candidates)
 
     def weights(ll_flat, discard_flat, f_t, thresh):
         s = ll_flat / f_t
@@ -416,16 +430,12 @@ def make_delta_mh_step(table: SubFragTable, jump: JumpTable, f_max: int,
     of :func:`make_mh_step` (see :func:`make_delta_mtm_step` for the
     carried-anchor argument; the MH ratio additionally consumes the
     absolute ``l_t`` for the backward return probability, which the
-    carried anchor provides directly)."""
+    carried anchor provides directly). Repeat tables route to the
+    copy-summing delta engine like the MTM variant."""
     from graal_tpu.core import delta as delta_mod
     from graal_tpu.core.candidates import mh_candidates
 
-    assert not table.has_repeats, \
-        "delta MH supports repeat-free geometry (see make_delta_mtm_step)"
-    dscore = delta_mod.make_delta_scorer(
-        table, None, f_max, sobs=sobs,
-        band_w=delta_mod.effective_band_w(band_w, table, f_max),
-        catalogue=mh_candidates)
+    dscore = _delta_mh_scorer(table, f_max, sobs, band_w, mh_candidates)
 
     def score_set(state, pivot, nb_ids, params, max_id, with_circ):
         def one(fb):

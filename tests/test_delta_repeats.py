@@ -145,3 +145,27 @@ def test_repeat_delta_step_routing(problem):
     # carried l_t (last scan slot) vs the full anchor on the final state
     np.testing.assert_allclose(float(lls[-1]), float(l_anchor),
                                rtol=1e-4, atol=0.5)
+
+
+def test_repeat_delta_mh_catalogue_matches_full_difference(problem):
+    """The MH candidate catalogue through the repeat-aware delta engine:
+    dll must equal the full copy-summed likelihood difference (lifts the
+    round-2 repeat-free restriction of the delta MTM/MH samplers)."""
+    from graal_tpu.core.candidates import mh_candidates
+
+    state, table, params, obs = problem
+    sobs = sparse.sparse_from_dense(obs)
+    dscore = jax.jit(delta_repeats.make_repeat_delta_scorer(
+        table, 24, sobs, catalogue=mh_candidates))
+    l0 = float(likelihood.log_likelihood(state, table, obs, params))
+    max_id = jnp.max(state.id_c)
+    rep = int(np.nonzero(np.asarray(state.rep) == 1)[0][0])
+    n = state.n_frags
+    for f_a, f_b in ((3, 11), (rep, 5), (0, n - 1)):
+        dll, minis, rows, valid, overflow = dscore(
+            state, jnp.int32(f_a), jnp.int32(f_b), params, max_id)
+        assert not bool(overflow), (f_a, f_b)
+        cands = mh_candidates(state, f_a, f_b)
+        want = np.asarray(full_scores(cands, table, obs, params)) - l0
+        np.testing.assert_allclose(np.asarray(dll), want, rtol=1e-3,
+                                   atol=0.35, err_msg=f"fa={f_a} fb={f_b}")

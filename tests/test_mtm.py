@@ -217,3 +217,30 @@ def test_scale_mh_refines():
     check_invariants(final)
     assert l_t > ll0
     assert abs(l_t - float(runner.anchor_fn()(final, params))) < 1e-3
+
+
+@pytest.mark.parametrize("variant", ["mtm", "mh"])
+def test_scale_mtm_with_repeats(variant):
+    """Repeat-carrying genomes MTM/MH-refine at chr1 scale (round-2 gap:
+    the delta samplers asserted repeat-free tables)."""
+    from graal_tpu.scale import ScaleRunner
+    from graal_tpu.utils.synthetic_sparse import (add_scale_repeats,
+                                                  make_scale_genome,
+                                                  scale_params,
+                                                  shuffle_genome,
+                                                  simulate_sparse_contacts)
+    from graal_tpu.core.state import check_invariants
+
+    params = scale_params()
+    base, base_table = make_scale_genome(200, 4, seed=61)
+    sobs = simulate_sparse_contacts(base, base_table, params, seed=61)
+    state, table, id_d = add_scale_repeats(base, base_table, (9, 55, 140))
+    assert table.has_repeats
+    runner = ScaleRunner(table, sobs, params, id_d=id_d)
+    pert = shuffle_genome(state, 8, seed=62)
+    ll0 = float(runner.anchor_fn()(pert, params))
+    final, l_t, m = runner.run_mtm(pert, n_cycles=2, f_max_min=64,
+                                   seed=5, variant=variant, progress=False)
+    check_invariants(final)
+    assert l_t > ll0
+    assert abs(l_t - float(runner.anchor_fn()(final, params))) < 1e-2
