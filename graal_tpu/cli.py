@@ -244,16 +244,21 @@ def cmd_scale(args):
         return 0
     runner, state0, lev, _ = scale_mod.from_dataset(
         args.dataset, args.size, args.factor, level=args.level,
-        max_fit_bins=args.max_fit_bins, allow_repeats=args.allow_repeats)
+        max_fit_bins=args.max_fit_bins, allow_repeats=args.allow_repeats,
+        sub_sample=args.sub_sample, sub_sample_seed=args.seed)
     state = state0
     if not args.no_scramble:
         from graal_tpu.core import mcmc
         state = jax.jit(mcmc.explode_genome)(state)
+    os.makedirs(args.out, exist_ok=True)
+    chrom_idx = np.unique(np.asarray(lev.frags.chrom),
+                          return_inverse=True)[1]
     if args.chains > 1:
         final, best_ll, metrics = runner.run_chains(
             state, n_chains=args.chains, n_cycles=args.cycles,
             delta=args.neighbours, f_max_min=args.f_max_min, f_t=args.t0,
-            sample_param=not args.no_sample_param, seed=args.seed)
+            t_max=args.t_max, sample_param=not args.no_sample_param,
+            seed=args.seed)
         metrics = {"likelihood": metrics["best"],
                    "n_contigs": [int(final.n_contigs())],
                    "dist_init_genome": [], "overflow": [],
@@ -263,7 +268,11 @@ def cmd_scale(args):
             state, n_cycles=args.cycles, delta=args.neighbours,
             f_max_min=args.f_max_min, f_t=args.t0,
             sample_param=not args.no_sample_param, seed=args.seed,
-            init_truth=state0)
+            init_truth=state0,
+            checkpoint_path=os.path.join(args.out, "checkpoint.npz"),
+            checkpoint_every=args.checkpoint_every, resume=args.resume,
+            snapshot_every=args.snapshot_every, snapshot_dir=args.out,
+            chrom_of_bin=chrom_idx)
     if args.mtm_cycles > 0:
         final, l_mtm, m_mtm = runner.run_mtm(
             final, n_cycles=args.mtm_cycles, f_max_min=args.f_max_min,
@@ -394,8 +403,10 @@ def main(argv=None):
                    help="duplicate coverage-outlier bins (copy-expanded "
                         "geometry; routes to the repeat-aware scorer)")
     p.add_argument("--chains", type=int, default=1,
-                   help="independent chains sharded over the device mesh "
-                        "with periodic best-genome exchange")
+                   help="parallel-tempered chains sharded over the device "
+                        "mesh with adjacent-pair replica-exchange swaps")
+    p.add_argument("--t-max", type=float, default=4.0,
+                   help="hottest chain temperature of the PT ladder")
     p.add_argument("--mtm-cycles", type=int, default=0,
                    help="delta-scored MTM refinement cycles after EM "
                         "(the start_MTM role at chr1 scale)")
@@ -403,6 +414,15 @@ def main(argv=None):
     p.add_argument("--no-scramble", action="store_true")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--t0", type=float, default=1.0)
+    p.add_argument("--sub-sample", type=float, default=0.0,
+                   help="Poisson-resample contacts by this factor "
+                        "(coverage robustness; gen_rand_mat)")
+    p.add_argument("--resume", action="store_true",
+                   help="resume from <out>/checkpoint.npz if present")
+    p.add_argument("--checkpoint-every", type=int, default=1,
+                   help="checkpoint every N cycles (0 disables)")
+    p.add_argument("--snapshot-every", type=int, default=0,
+                   help="genome-layout painting every N cycles")
     p.add_argument("--profile", action="store_true",
                    help="run one extra post-compile cycle under "
                         "jax.profiler.trace into <out>/profile")

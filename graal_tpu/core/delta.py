@@ -508,8 +508,12 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
     ``neighbour_batch``: 'vmap' scores all neighbour slots in one wide
     computation (amortises the per-op overhead of the mutation chains —
     the measured step cost is op-count-bound, not arithmetic-bound);
-    'map' runs them sequentially (lower peak memory). 'auto' vmaps up to
-    r_max 2048.
+    'map' runs them sequentially (lower peak memory, CPU hosts only —
+    sequential lax.map over the scorer reproducibly CRASHES the TPU
+    worker at r_max >= 2048, same fault as the candidate-batch note in
+    make_delta_scorer; round 3 reproduced it through ScaleRunner.run when
+    a random shuffle produced a >1023-bin piece and 'auto' still picked
+    'map'). 'auto' therefore always vmaps.
     """
     from graal_tpu.core.mcmc import (THRESH_OVERFLOW, sample_neighbours,
                                      select_score_slot)
@@ -532,9 +536,8 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
             table, obs, f_max, sobs=sobs, candidate_batch=candidate_batch,
             band_w=effective_band_w(band_w, table, f_max))
     mt = build_mini_table(table, allow_repeats=True)
-    r_max = min(f_max, mt.n_frags) * mt.s_max
     if neighbour_batch == "auto":
-        neighbour_batch = "vmap" if r_max <= 2048 else "map"
+        neighbour_batch = "vmap"
 
     def step(state: GenomeState, key, params: RippeParams, l_t, f_a, f_t):
         k_nb, k_sel = jax.random.split(key)

@@ -115,6 +115,21 @@ def sparse_from_coo(rows, cols, vals, n: int) -> SparseObs:
             axis=1))
 
 
+def subsample_sparse(sobs: SparseObs, fact: float, seed: int = 0) -> SparseObs:
+    """Poisson sub-sampling robustness knob at chr1 scale (gen_rand_mat,
+    kernels3.cu:61-77; the dense pipeline twin is
+    pipeline.Runner._setup_matrices): every upper-triangular observed count
+    is resampled as Poisson(fact * ob), then re-symmetrised. Zero draws
+    drop out of the triplets."""
+    rng = np.random.default_rng(seed)
+    r = np.asarray(sobs.rows)
+    c = np.asarray(sobs.cols)
+    v = np.asarray(sobs.vals, np.float64)
+    up = r < c
+    drawn = rng.poisson(np.maximum(v[up] * fact, 0.0)).astype(np.float64)
+    return sparse_from_coo(r[up], c[up], drawn, sobs.n)
+
+
 def sparse_from_dense(obs) -> SparseObs:
     obs = np.asarray(obs)
     iu, ju = np.nonzero(np.triu(obs, 1))

@@ -23,6 +23,7 @@ worth spending devices on is chains, not rows).
 
 from __future__ import annotations
 
+import os
 import time
 
 import numpy as np
@@ -36,6 +37,22 @@ from graal_tpu.core.subfrags import SubFragTable
 
 def _next_pow2(x: int) -> int:
     return 1 << max(int(np.ceil(np.log2(max(x, 1)))), 0)
+
+
+# Empirical TPU device-safety ceiling for one compiled lax.scan cycle:
+# the worker process crashes (UNAVAILABLE "kernel fault") when
+# r_max^2 * scan_length grows past ~1.6e9, independent of which
+# fragments are visited (bisected on a v5 lite: f_max 2048 x 320 steps
+# OK, x 384 crash; f_max 1024 x 1024 OK -> quadratic in r_max, not
+# linear). Chunks are capped so the product stays under 8e8 (2x margin).
+_SAFE_SCAN_PRODUCT = 8.0e8
+
+
+def _scan_chunk_cap(f_max: int, s_max: int, n: int, lanes: int = 1) -> int:
+    """Max scan steps for one device execution at this capacity bucket.
+    ``lanes``: states evaluated concurrently per device (vmapped chains)."""
+    r = min(f_max, n) * s_max
+    return max(8, int(_SAFE_SCAN_PRODUCT // (r * r * max(lanes, 1))))
 
 
 def max_contig_subs(state: GenomeState, table: SubFragTable) -> int:
@@ -98,6 +115,7 @@ class ScaleRunner:
             self.max_covered_d_max = float(
                 np.sort(np.asarray(table.len_kb))[: self.w].sum())
         self._anchor = None
+        self._local_anchor = None
         self._cycles = {}      # f_max bucket -> compiled cycle
         self._nuis = None
         self._bin_csr = bin_csr
@@ -106,12 +124,45 @@ class ScaleRunner:
 
     # ---- compiled pieces ---------------------------------------------------
     def anchor_fn(self):
+        """Full sparse likelihood re-anchor. On a multi-device host the
+        nnz triplets and the banded correction are sharded over a rows
+        mesh and psum-reduced (parallel.sharding.make_sharded_sparse_anchor
+        — the once-per-cycle anchor stops being a replicated single-device
+        serial cost at 500k fragments); single device or repeat tables
+        evaluate locally."""
         import jax
+        import jax.numpy as jnp
 
         if self._anchor is None:
-            self._anchor = jax.jit(
-                sparse.make_sparse_loglik(self.table, self.sobs, self.w))
+            n_dev = len(jax.devices())
+            if n_dev > 1 and not self.table.has_repeats:
+                self._local_anchor = jax.jit(
+                    sparse.make_sparse_loglik(self.table, self.sobs, self.w))
+                from graal_tpu.parallel.sharding import (
+                    make_mesh, make_sharded_sparse_anchor)
+
+                batched = make_sharded_sparse_anchor(
+                    make_mesh(n_chains=1, n_rows=n_dev), self.table,
+                    self.sobs, self.w)
+
+                def scalar_anchor(state, params, _b=batched):
+                    sb = jax.tree.map(lambda x: jnp.asarray(x)[None], state)
+                    pb = jax.tree.map(lambda x: jnp.asarray(x)[None], params)
+                    return _b(GenomeState(*sb), RippeParams(*pb))[0]
+
+                self._anchor = scalar_anchor
+            else:
+                self._anchor = jax.jit(
+                    sparse.make_sparse_loglik(self.table, self.sobs, self.w))
+                self._local_anchor = self._anchor
         return self._anchor
+
+    def local_anchor_fn(self):
+        """Single-device sparse anchor — the vmap-safe flavour used inside
+        per-chain nuisance sampling (vmapping a shard_mapped anchor is not
+        supported)."""
+        self.anchor_fn()
+        return self._local_anchor
 
     def scorer(self):
         """Batched sparse full-likelihood scorer (nuisance sampling)."""
@@ -144,10 +195,26 @@ class ScaleRunner:
             steps_per_cycle: int | None = None, f_max_min: int = 256,
             f_max_cap: int = 1 << 14, f_t: float = 1.0,
             sample_param: bool = False, seed: int = 1, progress: bool = True,
-            init_truth: GenomeState | None = None, chunk_steps: int = 512):
+            init_truth: GenomeState | None = None, chunk_steps: int = 512,
+            checkpoint_path: str | None = None, checkpoint_every: int = 1,
+            resume: bool = False, snapshot_every: int = 0,
+            snapshot_dir: str | None = None, chrom_of_bin=None):
         """Assemble from ``state0``. ``steps_per_cycle`` caps the fragment
         steps per cycle (default: every fragment once, like the reference's
         start_EM); ``init_truth`` enables the dist_inter_genome series.
+
+        ``checkpoint_path``: atomic npz checkpoint written every
+        ``checkpoint_every`` cycles (state + params + cycle + RNG key +
+        metric history — utils.checkpoint); ``resume=True`` picks the run
+        back up bit-exactly from the file when it exists (a kill -9
+        mid-assembly costs at most ``checkpoint_every`` cycles — a
+        multi-hour 500k run needs this; the dense pipeline has it and the
+        reference has nothing, SURVEY.md section 5).
+
+        ``snapshot_every`` + ``chrom_of_bin``: per-cycle genome-layout
+        paintings (utils.plots.plot_genome_layout — the chr1-scale stand-in
+        for the dense pipeline's matrix snapshots, which would densify)
+        written to ``snapshot_dir``.
 
         ``chunk_steps`` bounds the length of a single device execution: a
         full chr1-scale cycle in one XLA program runs for tens of minutes,
@@ -171,6 +238,19 @@ class ScaleRunner:
         key = jax.random.key(seed)
         state = state0
         params = self.params
+        start_cycle = 0
+        resumed_metrics = None
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            from graal_tpu.utils.checkpoint import load_checkpoint
+
+            state, params, start_cycle, key, extra = load_checkpoint(
+                checkpoint_path)
+            resumed_metrics = {k[2:]: np.asarray(v).tolist()
+                               for k, v in extra.items()
+                               if k.startswith("m_")}
+            if progress:
+                print(f"resumed from {checkpoint_path} at cycle "
+                      f"{start_cycle}", flush=True)
         anchor = self.anchor_fn()
         l_t = anchor(state, params)
         s_max = delta_mod.build_mini_table(self.table,
@@ -193,11 +273,15 @@ class ScaleRunner:
 
         def run_tier(state, l_t, key, bucket, order_np, f_t):
             """Run ``order_np`` steps at one bucket, chunked on a
-            decreasing size ladder (wrapped padding <= 31 steps)."""
+            decreasing size ladder (wrapped padding bounded by the
+            smallest rung), capped by the per-execution device-safety
+            ceiling (_scan_chunk_cap)."""
             cycle = self.cycle_for(bucket, delta)
             outs = []
             i = 0
-            ladder = [c for c in (chunk_steps, 128, 32) if c <= chunk_steps]
+            cap = _scan_chunk_cap(bucket, s_max, n)
+            ladder = sorted({min(c, cap) for c in (chunk_steps, 128, 32)
+                             if min(c, cap) <= chunk_steps}, reverse=True)
             while i < len(order_np):
                 rem = len(order_np) - i
                 chunk = next((c for c in ladder if c <= rem), ladder[-1])
@@ -216,8 +300,12 @@ class ScaleRunner:
         metrics = {"likelihood": [], "n_contigs": [], "overflow": [],
                    "dist_init_genome": [], "f_max": [], "cycle_s": [],
                    "fact": [], "slope": [], "d_max": [], "v_inter": []}
+        if resumed_metrics:
+            for k in metrics:
+                if k in resumed_metrics:
+                    metrics[k] = resumed_metrics[k]
         t0 = time.time()
-        for j in range(n_cycles):
+        for j in range(start_cycle, n_cycles):
             big_bucket = _next_pow2(2 * max_contig_subs(state, self.table)
                                     + 2 * s_max)
             big_bucket = int(np.clip(big_bucket, f_max_min, f_max_cap))
@@ -270,6 +358,20 @@ class ScaleRunner:
             if dist_ref is not None:
                 dist = dist_inter_genome(state, *dist_ref)
                 metrics["dist_init_genome"].append(dist)
+            if checkpoint_path and checkpoint_every and \
+                    (j + 1) % checkpoint_every == 0:
+                from graal_tpu.utils.checkpoint import save_checkpoint
+
+                save_checkpoint(
+                    checkpoint_path, state, params, j + 1, key,
+                    extra={f"m_{k}": np.asarray(v, np.float64)
+                           for k, v in metrics.items() if len(v)})
+            if snapshot_every and (j + 1) % snapshot_every == 0 \
+                    and chrom_of_bin is not None:
+                from graal_tpu.utils.plots import plot_genome_layout
+
+                plot_genome_layout(state, chrom_of_bin, snapshot_dir or ".",
+                                   out_name=f"layout_{j + 1:04d}.png")
             if progress:
                 msg = (f"scale cycle {j}: loglik={float(l_t):.1f} "
                        f"n_contigs={nc} f_max={bucket} overflow={n_over} "
@@ -288,15 +390,14 @@ class ScaleRunner:
                 variant: str = "mtm", progress: bool = True):
         """MTM (or plain-MH, ``variant='mh'``) refinement at chr1 scale
         (delta-scored; start_MTM's role, main_gl.py:344-399). Typically
-        run after :meth:`run` on its output. Returns
-        (state, l_t, metrics)."""
+        run after :meth:`run` on its output. Copy-expanded (repeat) tables
+        route to the repeat-aware delta engine automatically (the
+        reference refines repeats through the same dispatcher machinery,
+        cuda_lib_gl.py:2936-3069). Returns (state, l_t, metrics)."""
         import jax
         import jax.numpy as jnp
         from graal_tpu.core import mtm as mtm_mod
 
-        assert not self.table.has_repeats, \
-            "scale MTM refines repeat-free geometry (repeat problems " \
-            "refine with pipeline.Runner.run_mtm at pyramid scales)"
         n = state0.n_frags
         steps = steps_per_cycle or n
         # jumping distributions on the bin grid (falls back to the data
@@ -306,17 +407,27 @@ class ScaleRunner:
         else:
             import scipy.sparse as sp
 
-            assert self.table.n_data_sub == n and \
-                bool(np.all(np.asarray(self.table.owner)
-                            == np.asarray(self.table.data_id))), \
-                "pass bin_csr/bin_norm when the bin and data grids differ"
+            nd = self.sobs.n
+            if self.table.has_repeats:
+                # bin grid = data grid: one data sub per bin; per-bin accu
+                # read through any copy (copies share it)
+                assert self.table.n_data_sub == nd, \
+                    "pass bin_csr/bin_norm when the bin and data grids differ"
+                norm = np.zeros(nd, np.float64)
+                norm[np.asarray(self.table.data_id)] = \
+                    np.asarray(self.table.accu)
+            else:
+                assert self.table.n_data_sub == n and \
+                    bool(np.all(np.asarray(self.table.owner)
+                                == np.asarray(self.table.data_id))), \
+                    "pass bin_csr/bin_norm when the bin and data grids differ"
+                norm = np.bincount(np.asarray(self.table.owner),
+                                   weights=np.asarray(self.table.accu),
+                                   minlength=nd)
             bin_m = sp.coo_matrix(
                 (np.asarray(self.sobs.vals),
                  (np.asarray(self.sobs.rows), np.asarray(self.sobs.cols))),
-                shape=(n, n)).tocsr()
-            norm = np.bincount(np.asarray(self.table.owner),
-                               weights=np.asarray(self.table.accu),
-                               minlength=n)
+                shape=(nd, nd)).tocsr()
         id_d = self._id_d if self._id_d is not None else np.arange(n)
         jump = mtm_mod.build_jump_table(bin_m, norm, id_d, n, delta)
 
@@ -362,8 +473,9 @@ class ScaleRunner:
             order_np = np.asarray(jax.random.permutation(k_perm, n)[:steps])
             accs_all = []
             i = 0
+            cap = _scan_chunk_cap(bucket, s_max, n)
             while i < len(order_np):
-                chunk = min(chunk_steps, len(order_np) - i)
+                chunk = min(chunk_steps, cap, len(order_np) - i)
                 key, k_c = jax.random.split(key)
                 state, l_t, accs, ncs = cyc(
                     state, k_c, params, jnp.asarray(order_np[i:i + chunk]),
@@ -388,27 +500,35 @@ class ScaleRunner:
     def run_chains(self, state0: GenomeState, n_chains: int, n_cycles: int,
                    delta: int = 4, steps_per_cycle: int | None = None,
                    f_max_min: int = 256, f_max_cap: int = 1 << 14,
-                   f_t: float = 1.0, exchange_every: int = 2, seed: int = 1,
+                   f_t: float = 1.0, t_max: float = 4.0,
+                   exchange_every: int = 2, seed: int = 1,
                    sample_param: bool = False, chunk_steps: int = 512,
                    progress: bool = True):
-        """N independent chains from ``state0`` (distinct RNG streams),
-        sharded over a (chains, rows) mesh when the device count allows —
-        the chr1-scale multi-chip shape: the delta pair grids are tiny, so
-        devices go to chains, not rows (module docstring). Every
-        ``exchange_every`` cycles the argmax-likelihood genome is
-        broadcast to all chains (parallel.sharding.make_chain_exchange).
+        """N parallel-tempered chains from ``state0`` (distinct RNG
+        streams), sharded over a (chains, rows) mesh when the device count
+        allows — the chr1-scale multi-chip shape: the delta pair grids are
+        tiny, so devices go to chains, not rows (module docstring).
+
+        Chain c runs at temperature ``ladder[c]`` (geometric from ``f_t``
+        up to ``t_max``; chain 0 is the cold chain). Every
+        ``exchange_every`` cycles one round of canonical adjacent-pair
+        replica-exchange swaps runs (parallel.tempering.pt_swap) — hot
+        chains keep exploring while improvements percolate down; the
+        round-1 broadcast-best scheme destroyed the hot chains'
+        exploration state and is gone. The final result is the
+        argmax-likelihood genome across chains.
 
         ``sample_param``: per-chain nuisance-parameter Metropolis once per
-        cycle (each chain carries its OWN parameter vector; selection is
-        shift-invariant per chain, genome exchange keeps per-chain params
-        and re-anchors under them). Returns
+        cycle at the chain's own temperature. Each chain carries its OWN
+        parameter vector; PT swaps migrate (genome, params, likelihood) as
+        a unit — canonical PT on the joint chain state. Returns
         (best_state, best_ll, metrics) — with sample_param, metrics also
         carries the best chain's final params under "params".
         """
         import jax
         import jax.numpy as jnp
-        from graal_tpu.parallel.sharding import (make_chain_exchange,
-                                                 make_sharded_delta_cycle)
+        from graal_tpu.parallel.sharding import make_sharded_delta_cycle
+        from graal_tpu.parallel.tempering import pt_swap, temperature_ladder
 
         n = state0.n_frags
         steps = steps_per_cycle or n
@@ -420,20 +540,30 @@ class ScaleRunner:
             lambda x: jnp.broadcast_to(x, (n_chains,) + jnp.shape(x)),
             self.params)
         l_ts = jnp.broadcast_to(anchor(state0, self.params), (n_chains,))
-        exchange = make_chain_exchange(mesh)
-        anchor_c = jax.jit(jax.vmap(anchor))
+        ladder = jnp.asarray(temperature_ladder(
+            n_chains, t_min=f_t, t_max=max(t_max, f_t)))
+        swap = jax.jit(pt_swap, static_argnames=("parity",))
+        if mesh.devices.size > 1 and not self.table.has_repeats:
+            from graal_tpu.parallel.sharding import make_sharded_sparse_anchor
+
+            anchor_c = make_sharded_sparse_anchor(
+                mesh, self.table, self.sobs, self.w)
+        else:
+            anchor_c = jax.jit(jax.vmap(anchor))
         nuis_c = None
         if sample_param:
+            local = self.local_anchor_fn()
             nuis = mcmc.make_nuisance_step(
                 self.table, None,
-                scorer=lambda sb, p: jax.vmap(lambda s: anchor(s, p))(sb),
+                scorer=lambda sb, p: jax.vmap(lambda s: local(s, p))(sb),
                 d_max_cap=self.max_covered_d_max)
-            nuis_c = jax.jit(jax.vmap(nuis, in_axes=(0, 0, 0, 0, None)))
+            nuis_c = jax.jit(jax.vmap(nuis, in_axes=(0, 0, 0, 0, 0)))
         s_max = delta_mod.build_mini_table(self.table,
                                            allow_repeats=True).s_max
         key = jax.random.key(seed)
         cycles = {}
-        metrics = {"likelihood": [], "best": [], "f_max": []}
+        metrics = {"likelihood": [], "best": [], "f_max": [], "swaps": []}
+        swap_round = 0
         t0 = time.time()
         for j in range(n_cycles):
             # bucket sized for the largest contig across all chains
@@ -451,13 +581,15 @@ class ScaleRunner:
                 jax.random.split(k_perm, n_chains))
             i = 0
             order_np = np.asarray(order)
+            lanes = -(-n_chains // mesh.shape["chains"])   # chains/device
+            cap = _scan_chunk_cap(bucket, s_max, n, lanes=lanes)
             while i < steps:
-                chunk = min(chunk_steps, steps - i)
+                chunk = min(chunk_steps, cap, steps - i)
                 key, k_cyc = jax.random.split(key)
                 seg = jnp.asarray(order_np[:, i:i + chunk])
                 states, l_ts = cycles[bucket](
                     states, jax.random.split(k_cyc, n_chains), params_c,
-                    seg, l_ts, jnp.full((n_chains,), f_t, jnp.float32))
+                    seg, l_ts, ladder)
                 i += chunk
             # re-anchor each chain under its own params (f32 drift control)
             l_ts = anchor_c(states, params_c)
@@ -465,20 +597,26 @@ class ScaleRunner:
                 key, k_nu = jax.random.split(key)
                 params_c, l_ts, _ = nuis_c(
                     states, jax.random.split(k_nu, n_chains), params_c,
-                    l_ts, jnp.float32(f_t))
-            if exchange_every and (j + 1) % exchange_every == 0:
-                states, _ = exchange(states, l_ts)
-                # chains keep their own params; the broadcast genome's
-                # likelihood differs per chain -> re-anchor
-                l_ts = anchor_c(states, params_c)
+                    l_ts, ladder)
+            n_swaps = 0
+            if exchange_every and (j + 1) % exchange_every == 0 \
+                    and n_chains > 1:
+                key, k_swap = jax.random.split(key)
+                (states, params_c), l_ts, acc = swap(
+                    (states, params_c), l_ts, ladder, k_swap,
+                    parity=swap_round % 2)
+                swap_round += 1
+                n_swaps = int(np.sum(np.asarray(acc)))
             lls = np.asarray(l_ts)
             metrics["likelihood"].append(lls.tolist())
             metrics["best"].append(float(lls.max()))
             metrics["f_max"].append(bucket)
+            metrics["swaps"].append(n_swaps)
             if progress:
                 print(f"chains cycle {j}: best={lls.max():.1f} "
-                      f"spread={lls.max() - lls.min():.1f} f_max={bucket} "
-                      f"({time.time() - t0:.1f}s)", flush=True)
+                      f"spread={lls.max() - lls.min():.1f} swaps={n_swaps} "
+                      f"f_max={bucket} ({time.time() - t0:.1f}s)",
+                      flush=True)
         best = int(np.argmax(np.asarray(l_ts)))
         final = jax.tree.map(lambda x: np.asarray(x[best]), states)
         final = GenomeState(*[jnp.asarray(a) for a in final])
@@ -492,7 +630,8 @@ class ScaleRunner:
 def from_dataset(dataset_dir: str, size: int, factor: int = 3,
                  level: int | None = None, min_bin_per_contig: int = 1,
                  max_fit_bins: int = 2048, max_dist_bins_factor: float = 1.0,
-                 allow_repeats: bool = False, progress: bool = True):
+                 allow_repeats: bool = False, sub_sample: float = 0.0,
+                 sub_sample_seed: int = 0, progress: bool = True):
     """Build a :class:`ScaleRunner` straight from a reference-format dataset
     directory — the chr1-scale twin of pipeline.Runner, never densifying:
 
@@ -548,6 +687,14 @@ def from_dataset(dataset_dir: str, size: int, factor: int = 3,
 
     coo = sub.sparse.tocoo()
     sobs = sparse.sparse_from_coo(coo.row, coo.col, coo.data, sub.n_frags)
+    if 0.0 < sub_sample <= 1.0:
+        # Poisson sub-sampling robustness knob (gen_rand_mat,
+        # kernels3.cu:61-77) — applied before the fit, like the dense
+        # pipeline, so parameters are estimated from what is scored
+        sobs = sparse.subsample_sparse(sobs, sub_sample, sub_sample_seed)
+        if progress:
+            print(f"sub-sampled contacts by {sub_sample}: "
+                  f"{sobs.vals.shape[0]} symmetric nnz", flush=True)
     sr, sc, sv = (np.asarray(sobs.rows), np.asarray(sobs.cols),
                   np.asarray(sobs.vals))
 
@@ -575,15 +722,25 @@ def from_dataset(dataset_dir: str, size: int, factor: int = 3,
     m_bin = (lev.sparse + lev.sparse.T).tocsr()
     m_bin.setdiag(0)
     m_bin.eliminate_zeros()
+    if 0.0 < sub_sample <= 1.0:
+        import scipy.sparse as spsp
+
+        up = spsp.triu(m_bin, k=1).tocoo()
+        rng = np.random.default_rng(sub_sample_seed + 1)
+        drawn = rng.poisson(np.maximum(up.data * sub_sample, 0.0))
+        half = spsp.coo_matrix((drawn.astype(np.float64),
+                                (up.row, up.col)), shape=m_bin.shape)
+        m_bin = (half + half.T).tocsr()
+        m_bin.eliminate_zeros()
     nb = mcmc.build_neighbour_table(m_bin, soa["id_d"], len(soa["id_d"]))
-    bin_norm = None
-    if not table.has_repeats:   # MTM jump tables (repeat-free only)
-        bin_norm = np.bincount(np.asarray(table.owner),
-                               weights=np.asarray(table.accu),
-                               minlength=lev.n_frags)
+    # MTM jump-table normaliser: per-bin accu mass summed over the bin's
+    # data subs (the dense pipeline's norm_vect, pipeline.run_mtm) —
+    # copy-expansion-independent, so repeat tables get it too
+    cs = np.concatenate(
+        [[0.0], np.cumsum(np.asarray(sub_soa["n_accu"], np.float64))])
+    bin_norm = cs[bin_to_subs[:, 1] + 1] - cs[bin_to_subs[:, 0]]
     runner = ScaleRunner(table, sobs, params, nb=nb, id_d=soa["id_d"],
-                         bin_csr=m_bin if bin_norm is not None else None,
-                         bin_norm=bin_norm)
+                         bin_csr=m_bin, bin_norm=bin_norm)
     extras = {"fit_bins": bins, "fit_contacts": mean_contacts,
               "fit_estim": y_estim, "v_inter": v_inter,
               "duplications": duplications, "pyramid": pyr,

@@ -187,9 +187,10 @@ def test_from_dataset_with_repeats(tmp_path):
 
 
 def test_run_chains_on_mesh():
-    """Multi-chain scale run over the 8-device CPU mesh: chains improve
-    independently, exchange propagates the best genome, result beats the
-    scrambled start."""
+    """Multi-chain tempered scale run over the 8-device CPU mesh: chains
+    improve at their own temperatures, adjacent-pair PT swaps exchange
+    states, and hot-chain diversity SURVIVES exchange (the round-1
+    broadcast-best scheme collapsed it)."""
     params = scale_params()
     state, table = make_scale_genome(300, 4, seed=21)
     sobs = simulate_sparse_contacts(state, table, params, seed=21)
@@ -201,8 +202,11 @@ def test_run_chains_on_mesh():
                                           seed=3, progress=False)
     check_invariants(final)
     assert best_ll > ll0
-    # exchange leaves every chain at the broadcast best
-    assert np.allclose(m["likelihood"][-1], max(m["likelihood"][-1]))
+    # PT keeps chains distinct: the post-exchange likelihood vector is
+    # not collapsed onto a single broadcast value
+    last = np.asarray(m["likelihood"][-1])
+    assert not np.allclose(last, last.max())
+    assert "swaps" in m and len(m["swaps"]) == 2
 
 
 def test_scale_multilevel_warm_start(tmp_path):
@@ -240,3 +244,55 @@ def test_run_chains_sample_param():
     assert best_ll > ll0
     assert float(m["params"].fact) > 0
     assert float(m["params"].d_max) <= runner.max_covered_d_max + 1e-3
+
+
+def test_scale_checkpoint_resume_bitexact(tmp_path):
+    """Kill-and-resume parity: 2 cycles + resume for 2 more must equal an
+    uninterrupted 4-cycle run bit-exactly (state arrays AND params)."""
+    params = scale_params()
+    state, table = make_scale_genome(200, 4, seed=41)
+    sobs = simulate_sparse_contacts(state, table, params, seed=41)
+    shuf = shuffle_genome(state, 8, seed=42)
+    ckpt = str(tmp_path / "checkpoint.npz")
+
+    r1 = ScaleRunner(table, sobs, params)
+    full, p_full, m_full = r1.run(shuf, n_cycles=4, f_max_min=64, seed=7,
+                                  sample_param=True, progress=False)
+
+    r2 = ScaleRunner(table, sobs, params)
+    r2.run(shuf, n_cycles=2, f_max_min=64, seed=7, sample_param=True,
+           progress=False, checkpoint_path=ckpt)
+    # fresh runner simulates a killed process; resume from the checkpoint
+    r3 = ScaleRunner(table, sobs, params)
+    res, p_res, m_res = r3.run(shuf, n_cycles=4, f_max_min=64, seed=7,
+                               sample_param=True, progress=False,
+                               checkpoint_path=ckpt, resume=True)
+    for f in full._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(full, f)),
+                                      np.asarray(getattr(res, f)),
+                                      err_msg=f"field {f}")
+    for f in p_full._fields:
+        np.testing.assert_allclose(float(getattr(p_full, f)),
+                                   float(getattr(p_res, f)), rtol=0,
+                                   err_msg=f"param {f}")
+    assert len(m_res["likelihood"]) == 4
+    np.testing.assert_allclose(m_res["likelihood"], m_full["likelihood"])
+
+
+def test_scale_subsample_sparse():
+    """Poisson sub-sampling keeps the SparseObs well-formed, shrinks mass
+    by about the factor, and the anchor still evaluates finitely."""
+    from graal_tpu.core.sparse import subsample_sparse
+
+    params = scale_params()
+    state, table = make_scale_genome(150, 3, seed=51)
+    sobs = simulate_sparse_contacts(state, table, params, seed=51)
+    sub = subsample_sparse(sobs, 0.3, seed=5)
+    assert sub.n == sobs.n
+    total, sub_total = float(np.sum(sobs.vals)), float(np.sum(sub.vals))
+    assert 0.15 * total < sub_total < 0.45 * total
+    # still symmetric, sorted, CSR-consistent
+    assert np.all(np.diff(np.asarray(sub.row_start)) >= 0)
+    runner = ScaleRunner(table, sub, params)
+    ll = float(runner.anchor_fn()(state, params))
+    assert np.isfinite(ll)
