@@ -181,7 +181,10 @@ def scale_secondary(n_bins=20_000, f_max=512, n_steps=192):
     anchor = runner.anchor_fn()
     l_t = anchor(shuf, params)
     key = jax.random.key(0)
-    order = jax.random.permutation(key, n_bins)[:16]
+    # warm-up must use the SAME scan length as the timed call — a
+    # different length is a different XLA program and the recompile would
+    # land inside the timed region
+    order = jax.random.permutation(key, n_bins)[:n_steps]
     jax.block_until_ready(cycle(shuf, key, params, order, l_t,
                                 jnp.float32(1.0)))   # compile
     key, sub = jax.random.split(key)

@@ -55,14 +55,16 @@ def main(n_bins=100_000, f_max=1024, coverage=None):
     t_anchor = time.time() - t0
 
     key = jax.random.key(0)
-    n_steps_warm = 16
-    order = jax.random.permutation(key, n_bins)[:n_steps_warm]
+    # warm with the SAME scan length as the timed run: a different order
+    # length is a different program (the 256-step recompile used to land
+    # inside the timed region and inflate ms_per_step ~60x)
+    n_steps = 256
+    order = jax.random.permutation(key, n_bins)[:n_steps]
     t0 = time.time()
     out = cycle(shuf, key, params, order, l_t, jnp.float32(1.0))
     jax.block_until_ready(out)
     t_compile = time.time() - t0
 
-    n_steps = 256
     key, sub = jax.random.split(key)
     order = jax.random.permutation(sub, n_bins)[:n_steps]
     t0 = time.time()
