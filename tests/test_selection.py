@@ -116,3 +116,79 @@ def test_neighbour_sampling_prefers_strong_contacts():
     assert 0.03 < counts[9] / n_draws < 0.25
     assert counts[5] > counts[9] > 0
     assert counts[0] == 0             # never proposes itself
+
+
+def test_neighbour_sampling_matches_reference_process():
+    """Step-level decision parity with the reference's proposal draw
+    (return_neighbours, cuda_lib_gl.py:2295-2331 + setup_distri_frags
+    :2363-2390): the SUPPORT (expanded copies, blacklist filter, own-bin
+    copies of a duplicated fA, sorted order) must match a host
+    transcription exactly, and the per-partner inclusion frequencies must
+    match the transcription's sampling-without-replacement marginals
+    (Gumbel top-k == sequential renormalised draws in distribution)."""
+    rng = np.random.default_rng(7)
+    n_bins, delta, n_top = 12, 3, 10
+    m = rng.gamma(0.6, 2.0, (n_bins, n_bins))
+    m = np.triu(m, 1) + np.triu(m, 1).T
+
+    # copy expansion: bin 4 has two copies (frags 4 and 12)
+    id_d = np.concatenate([np.arange(n_bins), [4]]).astype(np.int64)
+    n_frags = len(id_d)
+    blacklist = np.zeros(n_frags, bool)
+    blacklist[7] = True
+    nb = mcmc.build_neighbour_table(m, id_d, n_frags,
+                                    blacklisted=np.nonzero(blacklist)[0])
+
+    # ---- host transcription of the reference process for f_a = 12 ----
+    f_a, bin_a = 12, 4
+    v = m[bin_a].astype(np.float32)
+    xk = np.argsort(v)[::-1][:n_top].astype(np.int64)
+    dat = v[xk] ** 3
+    pk = dat / dat.sum()
+    dispatcher = {b: [f for f in range(n_frags) if id_d[f] == b]
+                  for b in range(n_bins)}
+
+    def ref_draw(rs):
+        n_max = min(delta, int(np.count_nonzero(pk)))
+        init_id = rs.choice(xk, n_max, p=pk, replace=False)
+        out = [f for f in dispatcher[bin_a] if f != f_a]   # own-bin copies
+        for b in init_id:
+            out.extend(dispatcher[b])
+        return sorted(set(f for f in out if not blacklist[f]))
+
+    # reference marginals over many draws
+    rs = np.random.default_rng(3)
+    n_draws = 4000
+    ref_counts = np.zeros(n_frags)
+    for _ in range(n_draws):
+        for f in ref_draw(rs):
+            ref_counts[f] += 1
+
+    # engine draws
+    from graal_tpu.core.state import GenomeState
+    from graal_tpu.utils.synthetic import make_genome
+    state, _ = make_genome(n_bins, 2, subs_per_bin=1, seed=1)
+    soa = {f: np.asarray(getattr(state, f)) for f in state._fields}
+    # append the copy fragment (own contig, repeat-flagged)
+    from graal_tpu.pipeline import extend_with_repeats
+    soa["n_accu"] = np.ones(n_bins, np.int64)
+    soa = extend_with_repeats(soa, [(4, 1)])
+    state = GenomeState.from_soa(soa)
+    assert int(state.id_d[f_a]) == bin_a and int(state.rep[f_a]) == 1
+
+    keys = jax.random.split(jax.random.key(2), n_draws)
+    ids_b, valid_b = jax.jit(jax.vmap(
+        lambda k: mcmc.sample_neighbours(k, jnp.int32(f_a), state, nb,
+                                         delta)))(keys)
+    ids_b, valid_b = np.asarray(ids_b), np.asarray(valid_b)
+    got_counts = np.zeros(n_frags)
+    for ids, val in zip(ids_b, valid_b):
+        chosen = sorted(set(ids[val].tolist()))
+        # support parity per draw: valid ids exclude blacklist and self
+        assert f_a not in chosen and 7 not in chosen
+        for f in chosen:
+            got_counts[f] += 1
+
+    # inclusion-frequency parity (weighted-without-replacement marginals)
+    np.testing.assert_allclose(got_counts / n_draws, ref_counts / n_draws,
+                               atol=0.04)
