@@ -296,3 +296,25 @@ def test_scale_subsample_sparse():
     runner = ScaleRunner(table, sub, params)
     ll = float(runner.anchor_fn()(state, params))
     assert np.isfinite(ll)
+
+
+def test_scan_chunk_cap_bounds_product():
+    """Device-safety ceiling: chunk length x r_max^2 stays under the
+    empirical TPU worker-crash bound, with a floor so progress is always
+    possible; vmapped chain lanes divide the budget."""
+    from graal_tpu.scale import _SAFE_SCAN_PRODUCT, _scan_chunk_cap
+
+    for f_max in (256, 512, 1024, 2048, 4096, 1 << 14):
+        cap = _scan_chunk_cap(f_max, 1, 500_000)
+        assert cap >= 8
+        if cap > 8:
+            assert cap * f_max * f_max <= _SAFE_SCAN_PRODUCT
+    # the empirically crashing config (f_max 2048 x 384 steps) is excluded
+    assert _scan_chunk_cap(2048, 1, 500_000) < 384
+    # the measured-safe configs remain reachable
+    assert _scan_chunk_cap(1024, 1, 500_000) >= 512
+    # lanes divide the budget
+    assert _scan_chunk_cap(1024, 1, 500_000, lanes=4) <= \
+        _scan_chunk_cap(1024, 1, 500_000) // 4 + 1
+    # s_max multiplies the row count
+    assert _scan_chunk_cap(512, 3, 500_000) < _scan_chunk_cap(512, 1, 500_000)
