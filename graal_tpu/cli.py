@@ -45,6 +45,9 @@ def _add_run_opts(p):
     p.add_argument("--snapshot-every", type=int, default=0,
                    help="also snapshot every N EM cycles (animate with "
                         "python -m graal_tpu.utils.plots OUT_DIR)")
+    p.add_argument("--watch", action="store_true",
+                   help="refresh <out>/live.html each cycle (headless live "
+                        "view: layout painting + likelihood sparkline)")
     p.add_argument("--polish", action="store_true",
                    help="resolve unorientable-fragment orientations by "
                         "neighbourhood consensus before the FASTA export")
@@ -97,6 +100,7 @@ def _config_from_args(args):
     cfg.sampler.sub_sample_factor = getattr(args, "sub_sample", 0.0)
     cfg.sampler.scoring = getattr(args, "scoring", "auto")
     cfg.sampler.snapshot_every = getattr(args, "snapshot_every", 0)
+    cfg.sampler.watch = getattr(args, "watch", False)
     cfg.model.use_rippe = getattr(args, "model", "rippe") != "hic"
     return cfg
 
@@ -272,7 +276,7 @@ def cmd_scale(args):
             checkpoint_path=os.path.join(args.out, "checkpoint.npz"),
             checkpoint_every=args.checkpoint_every, resume=args.resume,
             snapshot_every=args.snapshot_every, snapshot_dir=args.out,
-            chrom_of_bin=chrom_idx)
+            chrom_of_bin=chrom_idx, watch=args.watch)
     if args.mtm_cycles > 0:
         final, l_mtm, m_mtm = runner.run_mtm(
             final, n_cycles=args.mtm_cycles, f_max_min=args.f_max_min,
@@ -423,6 +427,9 @@ def main(argv=None):
                    help="checkpoint every N cycles (0 disables)")
     p.add_argument("--snapshot-every", type=int, default=0,
                    help="genome-layout painting every N cycles")
+    p.add_argument("--watch", action="store_true",
+                   help="refresh <out>/live.html each cycle (headless "
+                        "live view)")
     p.add_argument("--profile", action="store_true",
                    help="run one extra post-compile cycle under "
                         "jax.profiler.trace into <out>/profile")

@@ -45,6 +45,9 @@ class SamplerConfig:
     snapshot_every: int = 0        # save a reordered-matrix snapshot every N
                                    # cycles (0 = only on request); the series
                                    # animates via utils.plots.animate_snapshots
+    watch: bool = False            # refresh <out>/live.html each cycle — the
+                                   # headless live view (utils.live; GL view
+                                   # + wx plot in the reference)
     blacklist_contigs: tuple = ()  # contig ids to freeze (simulation_loader.py:129)
     sub_sample_factor: float = 0.0 # Poisson coverage sub-sampling (cuda_lib_gl.py:667)
     seed: int = 1                  # RNG seed (cuda_lib_gl.py:364)

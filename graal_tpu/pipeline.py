@@ -345,6 +345,21 @@ class Runner:
             snap_every = getattr(cfg.sampler, "snapshot_every", 0)
             if snap_every and (j + 1) % snap_every == 0:
                 self.save_matrix_snapshot(f"snapshot_{j + 1:04d}", state)
+            if getattr(cfg.sampler, "watch", False):
+                # headless live view (utils.live): layout painting +
+                # metric row + likelihood sparkline in <out>/live.html
+                from graal_tpu.utils import live
+                from graal_tpu.utils.plots import plot_genome_layout
+
+                chrom_idx = np.unique(np.asarray(self.level.frags.chrom),
+                                      return_inverse=True)[1]
+                plot_genome_layout(state, chrom_idx, cfg.output_dir,
+                                   out_name="layout_latest.png")
+                live.update(cfg.output_dir,
+                            {"cycle": j, "loglik": float(l_t),
+                             "n_contigs": int(np.asarray(m.n_contigs)[-1]),
+                             "dist": dist, "T": round(f_t, 2)},
+                            collected["likelihood"][::max(1, n // 4)])
         if profile_dir is not None and cycle_times:
             timer.print_report("EM profiling")
             steady = cycle_times[1:] or cycle_times

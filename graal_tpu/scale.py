@@ -198,7 +198,8 @@ class ScaleRunner:
             init_truth: GenomeState | None = None, chunk_steps: int = 512,
             checkpoint_path: str | None = None, checkpoint_every: int = 1,
             resume: bool = False, snapshot_every: int = 0,
-            snapshot_dir: str | None = None, chrom_of_bin=None):
+            snapshot_dir: str | None = None, chrom_of_bin=None,
+            watch: bool = False):
         """Assemble from ``state0``. ``steps_per_cycle`` caps the fragment
         steps per cycle (default: every fragment once, like the reference's
         start_EM); ``init_truth`` enables the dist_inter_genome series.
@@ -215,6 +216,10 @@ class ScaleRunner:
         paintings (utils.plots.plot_genome_layout — the chr1-scale stand-in
         for the dense pipeline's matrix snapshots, which would densify)
         written to ``snapshot_dir``.
+
+        ``watch``: refresh ``<snapshot_dir>/live.html`` every cycle — the
+        headless live view (utils.live; the reference's GL particle view
+        + wx plot, gl_update_pos kernels3.cu:3824-3973 / main_gl.py:811).
 
         ``chunk_steps`` bounds the length of a single device execution: a
         full chr1-scale cycle in one XLA program runs for tens of minutes,
@@ -372,6 +377,20 @@ class ScaleRunner:
 
                 plot_genome_layout(state, chrom_of_bin, snapshot_dir or ".",
                                    out_name=f"layout_{j + 1:04d}.png")
+            if watch:
+                from graal_tpu.utils import live
+                from graal_tpu.utils.plots import plot_genome_layout
+
+                if chrom_of_bin is not None:
+                    plot_genome_layout(state, chrom_of_bin,
+                                       snapshot_dir or ".",
+                                       out_name="layout_latest.png")
+                stats = {"cycle": j, "loglik": float(l_t), "n_contigs": nc,
+                         "f_max": bucket, "cycle_s": round(cycle_s, 1)}
+                if dist is not None:
+                    stats["dist"] = dist
+                live.update(snapshot_dir or ".", stats,
+                            metrics["likelihood"])
             if progress:
                 msg = (f"scale cycle {j}: loglik={float(l_t):.1f} "
                        f"n_contigs={nc} f_max={bucket} overflow={n_over} "

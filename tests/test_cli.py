@@ -63,3 +63,25 @@ def test_probe_command(ds, tmp_path):
     assert cli.main(["probe", ds, "3", "--size", "3", "--level", "1",
                      "--cycles", "1", "--platform", "cpu",
                      "--out", str(tmp_path / "op")]) == 0
+
+
+def test_watch_live_view(tmp_path):
+    """--watch writes the headless live view: live.html + live_status.json
+    + the layout painting, refreshed per cycle (the GL/wx live surface of
+    the reference, redesigned for batch jobs)."""
+    import json
+    from graal_tpu.cli import main as cli_main
+    from graal_tpu.utils.dataset import write_synthetic_dataset
+
+    d = str(tmp_path / "ds")
+    write_synthetic_dataset(d, n_bins=60, n_contigs=2, seed=4)
+    out = str(tmp_path / "out")
+    rc = cli_main(["run", d, "--size", "3", "--level", "1", "--cycles", "2",
+                   "--out", out, "--platform", "cpu", "--watch"])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "live.html"))
+    with open(os.path.join(out, "live_status.json")) as fh:
+        status = json.load(fh)
+    assert status["stats"]["cycle"] == 1
+    assert len(status["likelihood"]) > 1
+    assert os.path.exists(os.path.join(out, "layout_latest.png"))
