@@ -205,7 +205,8 @@ def effective_band_w(band_w: int | None, table: SubFragTable,
 
 def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
                       candidate_batch: str = "auto", band_w: int | None = None,
-                      catalogue=None, _ablate: str | None = None):
+                      catalogue=None, _ablate: str | None = None,
+                      _off_chunk: int | None = None):
     """Build the per-neighbour delta scorer.
 
     Returns ``dscore(state, f_a, f_b, params, max_id) ->
@@ -316,21 +317,43 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
         circ_s = geo["circ"][order]
         stot_s = geo["stot"][order]
         a_s = a[order]
-        offs = jnp.arange(1, band_w + 1, dtype=jnp.int32)
-        j = jnp.arange(r_max, dtype=jnp.int32)[:, None] + offs[None, :]
-        in_b = j < r_max
-        jc = jnp.clip(j, 0, r_max - 1)
-        s = jnp.abs(mid_s[:, None] - mid_s[jc])
-        same = (idc_s[:, None] == idc_s[jc]) & in_b
-        na = a_s[:, None] * a_s[jc] / nfpb
-        log_cis = _log_cis(s, circ_s[:, None], stot_s[:, None],
-                           params, with_circ)
-        corr = jnp.where(same,
-                         jnp.maximum(jnp.exp(log_cis) - params.v_inter, 0.0),
-                         0.0) * na
-        return mass + jnp.sum(corr)
+        # Band offsets are consumed in bounded chunks: the vmapped
+        # neighbour x candidate batch multiplies every live slab by ~65,
+        # and a single-shot (r_max, band_w) slab at chr1 buckets blew HBM
+        # (observed: f_max 4096, band_w ~1000, 500k frags -> a
+        # [r_max*band_w, 5, 13] gather padded 15.8x to 15.6 GB). A
+        # fori_loop of (r_max, off_chunk) slabs keeps peak memory flat at
+        # identical flop count (core.sparse banding uses the same shape).
+        off_base = jnp.arange(off_chunk, dtype=jnp.int32)
+        rows_i = jnp.arange(r_max, dtype=jnp.int32)[:, None]
+
+        def chunk_body(c, acc):
+            offs = 1 + c * off_chunk + off_base                 # (off_chunk,)
+            j = rows_i + offs[None, :]
+            in_b = (j < r_max) & (offs <= band_w)[None, :]
+            jc = jnp.clip(j, 0, r_max - 1)
+            s = jnp.abs(mid_s[:, None] - mid_s[jc])
+            same = (idc_s[:, None] == idc_s[jc]) & in_b
+            na = a_s[:, None] * a_s[jc] / nfpb
+            log_cis = _log_cis(s, circ_s[:, None], stot_s[:, None],
+                               params, with_circ)
+            corr = jnp.where(
+                same,
+                jnp.maximum(jnp.exp(log_cis) - params.v_inter, 0.0),
+                0.0) * na
+            return acc + jnp.sum(corr)
+
+        corr_sum = jax.lax.fori_loop(0, n_off_chunks, chunk_body,
+                                     jnp.float32(0.0))
+        return mass + corr_sum
 
     use_banded = band_w is not None
+    if use_banded:
+        # live-slab budget per batched lane (see e_sum_banded note);
+        # _off_chunk overrides for tests
+        off_chunk = _off_chunk if _off_chunk is not None else \
+            max(8, min(band_w, (1 << 20) // max(r_max, 1)))
+        n_off_chunks = -(-band_w // off_chunk)
 
     if use_window:
         cap = sobs.row_cap

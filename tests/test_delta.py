@@ -242,3 +242,31 @@ def test_incremental_l_t_tracks_full(problem):
                            jnp.float32(1.0))
     fresh = float(likelihood.log_likelihood(cur, table, obs, params))
     np.testing.assert_allclose(float(l_t), fresh, rtol=5e-4, atol=1.0)
+
+
+def test_banded_esum_offset_chunking(problem):
+    """The band-offset fori_loop (added after a 15.6 GB padded-slab OOM
+    at 500k fragments) must agree with the dense grid when the band
+    genuinely splits into multiple chunks, including a chunk width that
+    does not divide band_w."""
+    state, table, params, obs = problem
+    from graal_tpu.core import delta as dm
+
+    from graal_tpu.core import sparse as sparse_mod
+
+    w = sparse_mod.band_width(np.asarray(table.len_kb), float(params.d_max))
+    assert w >= 10   # so _off_chunk=4 genuinely splits, non-divisibly
+    d_grid = _dscore(problem, f_max=16)
+    d_band = jax.jit(dm.make_delta_scorer(table, obs, 16, band_w=w,
+                                          _off_chunk=4))
+    max_id = jnp.max(state.id_c)
+    rng = np.random.default_rng(9)
+    n = state.n_frags
+    for trial in range(3):
+        f_a, f_b = int(rng.integers(n)), int(rng.integers(n))
+        dll_g = np.asarray(d_grid(state, jnp.int32(f_a), jnp.int32(f_b),
+                                  params, max_id)[0])
+        dll_b = np.asarray(d_band(state, jnp.int32(f_a), jnp.int32(f_b),
+                                  params, max_id)[0])
+        np.testing.assert_allclose(dll_b, dll_g, rtol=1e-3, atol=0.05,
+                                   err_msg=f"trial {trial}")
