@@ -262,7 +262,9 @@ def cmd_scale(args):
             state, n_chains=args.chains, n_cycles=args.cycles,
             delta=args.neighbours, f_max_min=args.f_max_min, f_t=args.t0,
             t_max=args.t_max, sample_param=not args.no_sample_param,
-            seed=args.seed)
+            seed=args.seed,
+            checkpoint_path=os.path.join(args.out, "chains_checkpoint.npz"),
+            checkpoint_every=args.checkpoint_every, resume=args.resume)
         metrics = {"likelihood": metrics["best"],
                    "n_contigs": [int(final.n_contigs())],
                    "dist_init_genome": [], "overflow": [],

@@ -522,6 +522,8 @@ class ScaleRunner:
                    f_t: float = 1.0, t_max: float = 4.0,
                    exchange_every: int = 2, seed: int = 1,
                    sample_param: bool = False, chunk_steps: int = 512,
+                   checkpoint_path: str | None = None,
+                   checkpoint_every: int = 1, resume: bool = False,
                    progress: bool = True):
         """N parallel-tempered chains from ``state0`` (distinct RNG
         streams), sharded over a (chains, rows) mesh when the device count
@@ -543,6 +545,11 @@ class ScaleRunner:
         a unit — canonical PT on the joint chain state. Returns
         (best_state, best_ll, metrics) — with sample_param, metrics also
         carries the best chain's final params under "params".
+
+        ``checkpoint_path``/``resume``: per-cycle atomic npz of the FULL
+        tempered ensemble (every chain's genome, params, likelihood, the
+        RNG key and swap parity) — resuming continues the run bit-exactly,
+        like the single-chain path.
         """
         import jax
         import jax.numpy as jnp
@@ -583,8 +590,25 @@ class ScaleRunner:
         cycles = {}
         metrics = {"likelihood": [], "best": [], "f_max": [], "swaps": []}
         swap_round = 0
+        start_cycle = 0
+        if resume and checkpoint_path and os.path.exists(checkpoint_path):
+            with np.load(checkpoint_path) as data:
+                states = GenomeState(*[jnp.asarray(data[f"s_{f}"])
+                                       for f in GenomeState._fields])
+                params_c = RippeParams(*[jnp.asarray(x)
+                                         for x in data["params_c"].T])
+                l_ts = jnp.asarray(data["l_ts"])
+                start_cycle = int(data["cycle"])
+                swap_round = int(data["swap_round"])
+                key = jax.random.wrap_key_data(jnp.asarray(data["key"]))
+                for k in metrics:
+                    if f"m_{k}" in data:
+                        metrics[k] = np.asarray(data[f"m_{k}"]).tolist()
+            if progress:
+                print(f"resumed tempered ensemble from {checkpoint_path} "
+                      f"at cycle {start_cycle}", flush=True)
         t0 = time.time()
-        for j in range(n_cycles):
+        for j in range(start_cycle, n_cycles):
             # bucket sized for the largest contig across all chains
             big = max(max_contig_subs(
                 jax.tree.map(lambda x: x[c], states), self.table)
@@ -631,6 +655,22 @@ class ScaleRunner:
             metrics["best"].append(float(lls.max()))
             metrics["f_max"].append(bucket)
             metrics["swaps"].append(n_swaps)
+            if checkpoint_path and checkpoint_every and \
+                    (j + 1) % checkpoint_every == 0:
+                arrays = {f"s_{f}": np.asarray(getattr(states, f))
+                          for f in GenomeState._fields}
+                arrays["params_c"] = np.stack(
+                    [np.asarray(x) for x in params_c], axis=1)
+                arrays["l_ts"] = np.asarray(l_ts)
+                arrays["cycle"] = np.asarray(j + 1, np.int64)
+                arrays["swap_round"] = np.asarray(swap_round, np.int64)
+                arrays["key"] = np.asarray(jax.random.key_data(key))
+                for k, v in metrics.items():
+                    if isinstance(v, list) and len(v):
+                        arrays[f"m_{k}"] = np.asarray(v, np.float64)
+                tmp = checkpoint_path + ".tmp.npz"
+                np.savez(tmp, **arrays)
+                os.replace(tmp, checkpoint_path)
             if progress:
                 print(f"chains cycle {j}: best={lls.max():.1f} "
                       f"spread={lls.max() - lls.min():.1f} swaps={n_swaps} "

@@ -318,3 +318,34 @@ def test_scan_chunk_cap_bounds_product():
         _scan_chunk_cap(1024, 1, 500_000) // 4 + 1
     # s_max multiplies the row count
     assert _scan_chunk_cap(512, 3, 500_000) < _scan_chunk_cap(512, 1, 500_000)
+
+
+def test_run_chains_checkpoint_resume_bitexact(tmp_path):
+    """Tempered-ensemble checkpoints: 1 cycle + resume for 2 more equals
+    an uninterrupted 3-cycle run bit-exactly across every chain."""
+    params = scale_params()
+    state, table = make_scale_genome(160, 4, seed=71)
+    sobs = simulate_sparse_contacts(state, table, params, seed=71)
+    shuf = shuffle_genome(state, 6, seed=72)
+    ckpt = str(tmp_path / "chains.npz")
+
+    r1 = ScaleRunner(table, sobs, params)
+    full, full_ll, m_full = r1.run_chains(
+        shuf, n_chains=4, n_cycles=3, f_max_min=64, exchange_every=1,
+        sample_param=True, seed=9, progress=False)
+
+    r2 = ScaleRunner(table, sobs, params)
+    r2.run_chains(shuf, n_chains=4, n_cycles=1, f_max_min=64,
+                  exchange_every=1, sample_param=True, seed=9,
+                  progress=False, checkpoint_path=ckpt)
+    r3 = ScaleRunner(table, sobs, params)
+    res, res_ll, m_res = r3.run_chains(
+        shuf, n_chains=4, n_cycles=3, f_max_min=64, exchange_every=1,
+        sample_param=True, seed=9, progress=False,
+        checkpoint_path=ckpt, resume=True)
+    for f in full._fields:
+        np.testing.assert_array_equal(np.asarray(getattr(full, f)),
+                                      np.asarray(getattr(res, f)),
+                                      err_msg=f"field {f}")
+    assert res_ll == full_ll
+    np.testing.assert_allclose(m_res["best"], m_full["best"])
