@@ -193,14 +193,20 @@ def _log_cis(s, circ_u, stot_u, params, with_circ: bool):
 def effective_band_w(band_w: int | None, table: SubFragTable,
                      f_max: int) -> int | None:
     """Crossover: keep the banded expected-mass decomposition only when the
-    band is at most half the mini-grid edge; otherwise the dense (R, R)
-    grid is cheaper (and needs no per-candidate lexsort), so fall back to
-    ``None``."""
+    band is at most 1/8 of the mini-grid edge; otherwise the dense (R, R)
+    grid is cheaper, so fall back to ``None``.
+
+    The ratio is measured, not estimated: at r_max 2048 with band_w 972
+    (ratio ~2) the banded path ran 198 ms/step vs the grid's 12.6 ms on a
+    v5 lite — the 65 per-candidate lexsorts dominate, and TPU sorts cost
+    far more than the extra transcendental grid cells they save. The
+    round-2 heuristic (ratio 2) kept the band exactly where it was 16x
+    slower."""
     if band_w is None:
         return None
     mt = build_mini_table(table, allow_repeats=True)
     r_max = min(f_max, mt.n_frags) * mt.s_max
-    return band_w if 2 * band_w <= r_max else None
+    return band_w if 8 * band_w <= r_max else None
 
 
 def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
