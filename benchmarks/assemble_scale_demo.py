@@ -55,7 +55,7 @@ def main(n_bins=20_000, n_cycles=5, steps_per_cycle=None, chrom_bins=500,
                              steps_per_cycle=steps_per_cycle,
                              f_max_min=512, seed=79, progress=True,
                              init_truth=state, checkpoint_path=ckpt,
-                             resume=True)
+                             resume=True, order_mode="extremity")
     gap0 = ll_true - ll_start
     gap1 = ll_true - m["likelihood"][-1]
     print(json.dumps({

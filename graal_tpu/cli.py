@@ -272,13 +272,15 @@ def cmd_scale(args):
     else:
         final, params, metrics = runner.run(
             state, n_cycles=args.cycles, delta=args.neighbours,
+            steps_per_cycle=args.steps_per_cycle,
             f_max_min=args.f_max_min, f_t=args.t0,
             sample_param=not args.no_sample_param, seed=args.seed,
             init_truth=state0,
             checkpoint_path=os.path.join(args.out, "checkpoint.npz"),
             checkpoint_every=args.checkpoint_every, resume=args.resume,
             snapshot_every=args.snapshot_every, snapshot_dir=args.out,
-            chrom_of_bin=chrom_idx, watch=args.watch)
+            chrom_of_bin=chrom_idx, watch=args.watch,
+            order_mode=args.order)
     if args.mtm_cycles > 0:
         final, l_mtm, m_mtm = runner.run_mtm(
             final, n_cycles=args.mtm_cycles, f_max_min=args.f_max_min,
@@ -418,6 +420,15 @@ def main(argv=None):
                         "(the start_MTM role at chr1 scale)")
     p.add_argument("--no-sample-param", action="store_true")
     p.add_argument("--no-scramble", action="store_true")
+    p.add_argument("--steps-per-cycle", type=int, default=None,
+                   help="cap fragment steps per cycle (default: every "
+                        "fragment once, the reference sweep)")
+    p.add_argument("--order", default="random",
+                   choices=("random", "extremity"),
+                   help="subsampled-cycle schedule: random truncated "
+                        "sweep, or contig extremities first (where "
+                        "repairs are possible — use with "
+                        "--steps-per-cycle at chr1 scale)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--t0", type=float, default=1.0)
     p.add_argument("--sub-sample", type=float, default=0.0,

@@ -199,10 +199,23 @@ class ScaleRunner:
             checkpoint_path: str | None = None, checkpoint_every: int = 1,
             resume: bool = False, snapshot_every: int = 0,
             snapshot_dir: str | None = None, chrom_of_bin=None,
-            watch: bool = False):
+            watch: bool = False, order_mode: str = "random"):
         """Assemble from ``state0``. ``steps_per_cycle`` caps the fragment
         steps per cycle (default: every fragment once, like the reference's
         start_EM); ``init_truth`` enables the dist_inter_genome series.
+
+        ``order_mode``: which fragments a SUBSAMPLED cycle visits.
+        "random" (default) is the reference's shuffled sweep truncated to
+        ``steps_per_cycle``. "extremity" visits contig extremities first
+        (shuffled), then fills with shuffled interior fragments. Repairs
+        happen at extremities — paste is only valid there
+        (cuda_lib_gl.py:828-837) — so at 500k fragments with
+        steps_per_cycle=1000, a uniform subsample lands ~10 steps per
+        cycle on the ~5000 repairable fragments and the selection
+        window's neutral drift dominates (measured: likelihood FELL and
+        n_contigs grew over 5 cycles); extremity-first spends the whole
+        budget where joins are possible. A full sweep (steps == n) is
+        unaffected: every fragment is visited either way.
 
         ``checkpoint_path``: atomic npz checkpoint written every
         ``checkpoint_every`` cycles (state + params + cycle + RNG key +
@@ -319,7 +332,16 @@ class ScaleRunner:
             big_bucket = min(big_bucket, _next_pow2(n))
             small_bucket = min(f_max_min, big_bucket)
             key, k_perm, k_nuis = jax.random.split(key, 3)
-            order = np.asarray(jax.random.permutation(k_perm, n)[:steps])
+            if order_mode == "extremity" and steps < n:
+                pos_np = np.asarray(state.pos)
+                lc_np = np.asarray(state.l_cont)
+                ext = (np.asarray(state.activ) == 1) & (
+                    (pos_np == 0) | (pos_np == lc_np - 1))
+                perm = np.asarray(jax.random.permutation(k_perm, n))
+                order = np.concatenate(
+                    [perm[ext[perm]], perm[~ext[perm]]])[:steps]
+            else:
+                order = np.asarray(jax.random.permutation(k_perm, n)[:steps])
             tc = time.time()
             cfrag = contig_frags_per_frag(state)
             # per-step tier: the bucket the step's OWN contig needs (the

@@ -42,6 +42,28 @@ def test_scale_assembly_recovers_structure():
     assert gap1 < 0.25 * gap0, (ll_shuf, metrics["likelihood"], ll_true)
 
 
+def test_scale_extremity_order_subsampled_progress():
+    """Subsampled cycles with extremity-first scheduling must repair the
+    genome: at 500k fragments a uniform 1000-step subsample measurably
+    REGRESSED (likelihood fell, n_contigs grew — BASELINE.md round 3)
+    because repairs only happen at contig extremities. The same budget
+    spent extremity-first must reduce n_contigs and ground-truth
+    distance."""
+    params = scale_params()
+    state, table = make_scale_genome(420, 4, seed=11)
+    sobs = simulate_sparse_contacts(state, table, params, seed=11)
+    runner = ScaleRunner(table, sobs, params)
+    shuf = shuffle_genome(state, 24, seed=12)
+    nc0 = int(shuf.n_contigs())
+    final, _, m = runner.run(shuf, n_cycles=3, delta=4, steps_per_cycle=80,
+                             f_max_min=64, seed=3, progress=False,
+                             init_truth=state, order_mode="extremity")
+    check_invariants(final)
+    assert m["n_contigs"][-1] < nc0 - 4, (nc0, m["n_contigs"])
+    assert m["dist_init_genome"][-1] < m["dist_init_genome"][0], \
+        m["dist_init_genome"]
+
+
 def test_scale_bucket_growth():
     """f_max buckets must grow as contigs coalesce and stay >= the largest
     contig (otherwise joins can never be scored)."""
