@@ -21,6 +21,10 @@ import numpy as np
 def _add_run_opts(p):
     p.add_argument("--size", type=int, default=4, help="pyramid levels")
     p.add_argument("--factor", type=int, default=3)
+    p.add_argument("--ref-quirks", action="store_true",
+                   help="replicate two upstream pyramid-build defects so "
+                        "COO triplets diff bit-exact against a reference-"
+                        "built pyramid (parity runs only)")
     p.add_argument("--level", type=int, default=None,
                    help="sampling level (default: size-1)")
     p.add_argument("--to-level", type=int, default=None,
@@ -87,6 +91,7 @@ def _config_from_args(args):
     cfg.platform = args.platform
     cfg.pyramid.size = args.size
     cfg.pyramid.factor = args.factor
+    cfg.pyramid.ref_quirks = getattr(args, "ref_quirks", False)
     cfg.sampler.level = args.level if args.level is not None else args.size - 1
     cfg.sampler.n_cycles = args.cycles
     cfg.sampler.n_neighbours = args.neighbours
@@ -108,7 +113,8 @@ def _config_from_args(args):
 def cmd_pyramid(args):
     from graal_tpu.io.pyramid import build_and_filter
 
-    p = build_and_filter(args.dataset, args.size, args.factor)
+    p = build_and_filter(args.dataset, args.size, args.factor,
+                         ref_quirks=args.ref_quirks)
     for lv in range(args.size):
         level = p.get_level(lv)
         print(f"level {lv}: {level.n_frags} fragments, "
@@ -249,7 +255,8 @@ def cmd_scale(args):
     runner, state0, lev, _ = scale_mod.from_dataset(
         args.dataset, args.size, args.factor, level=args.level,
         max_fit_bins=args.max_fit_bins, allow_repeats=args.allow_repeats,
-        sub_sample=args.sub_sample, sub_sample_seed=args.seed)
+        sub_sample=args.sub_sample, sub_sample_seed=args.seed,
+        ref_quirks=args.ref_quirks)
     state = state0
     if not args.no_scramble:
         from graal_tpu.core import mcmc
@@ -370,6 +377,10 @@ def main(argv=None):
     p.add_argument("dataset")
     p.add_argument("--size", type=int, default=4)
     p.add_argument("--factor", type=int, default=3)
+    p.add_argument("--ref-quirks", action="store_true",
+                   help="replicate two upstream pyramid-build defects so "
+                        "COO triplets diff bit-exact against a reference-"
+                        "built pyramid (parity runs only)")
     p.set_defaults(fn=cmd_pyramid)
 
     p = sub.add_parser("run", help="full assembly run")
@@ -410,6 +421,10 @@ def main(argv=None):
     p.add_argument("--allow-repeats", action="store_true",
                    help="duplicate coverage-outlier bins (copy-expanded "
                         "geometry; routes to the repeat-aware scorer)")
+    p.add_argument("--ref-quirks", action="store_true",
+                   help="replicate two upstream pyramid-build defects so "
+                        "COO triplets diff bit-exact against a reference-"
+                        "built pyramid (parity runs only)")
     p.add_argument("--chains", type=int, default=1,
                    help="parallel-tempered chains sharded over the device "
                         "mesh with adjacent-pair replica-exchange swaps")

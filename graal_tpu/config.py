@@ -17,6 +17,10 @@ class PyramidConfig:
     size: int = 4                  # pyramid levels (GUI combo 4/5/6, main_window.py:250)
     factor: int = 3                # collinear frags per bin (main_window.py:253)
     min_bin_per_contig: int = 1    # build_and_filter, pyramid_sparse.py:28
+    ref_quirks: bool = False       # opt-in: replicate two upstream pyramid
+                                   # defects (accu leak pyramid_sparse.py:744,
+                                   # first-contact drop :526-530) so COO
+                                   # triplets diff bit-exact vs the reference
 
 
 @dataclasses.dataclass

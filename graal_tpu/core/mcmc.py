@@ -269,18 +269,29 @@ def _device_peval(s, params: RippeParams):
             * jnp.exp((params.d - 2.0) / (n * n + params.d)))
 
 
-def solve_d_max(params: RippeParams, v_inter, lo=1e-2, hi=1e6, iters=80):
-    """Bisection solve of rippe(s) == v_inter on the decreasing branch —
-    the device-side equivalent of estimate_max_dist_intra (fsolve,
-    optim_rippe_curve_update.py:125-135)."""
-    def body(_, bounds):
-        lo_, hi_ = bounds
-        mid = jnp.sqrt(lo_ * hi_)
-        above = _device_peval(mid, params) > v_inter
-        return jnp.where(above, mid, lo_), jnp.where(above, hi_, mid)
-    lo_f, hi_f = jax.lax.fori_loop(0, iters, body,
-                                   (jnp.float32(lo), jnp.float32(hi)))
-    return jnp.sqrt(lo_f * hi_f)
+def solve_d_max(params: RippeParams, v_inter, lo=1e-2, hi=1e6, passes=5,
+                width=64):
+    """Log-space multisection solve of rippe(s) == v_inter on the
+    (strictly decreasing) branch — the device-side equivalent of
+    estimate_max_dist_intra (fsolve, optim_rippe_curve_update.py:125-135).
+
+    Each pass evaluates the curve at ``width`` geometrically spaced
+    points in one VPU op and shrinks the bracket by (width-1)x; 5 passes
+    cut the 8-decade range by 63^5 ~ 1e9, past f32 resolution. Replaces
+    an 80-iteration *sequential scalar* bisection that cost ~0.18 ms per
+    nuisance step on chip (the iterations serialise; the vector passes
+    don't)."""
+    llo = jnp.float32(np.log(lo))
+    lhi = jnp.float32(np.log(hi))
+    frac = jnp.arange(width, dtype=jnp.float32) / np.float32(width - 1)
+    for _ in range(passes):
+        xs = jnp.exp(llo + (lhi - llo) * frac)
+        above = _device_peval(xs, params) > v_inter
+        idx = jnp.clip(jnp.sum(above.astype(jnp.int32)) - 1, 0, width - 2)
+        step = (lhi - llo) / np.float32(width - 1)
+        llo = llo + idx.astype(jnp.float32) * step
+        lhi = llo + step
+    return jnp.exp((llo + lhi) * 0.5)
 
 
 def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32,

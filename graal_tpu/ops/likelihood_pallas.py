@@ -63,57 +63,75 @@ def obs_constant(obs: np.ndarray) -> float:
 
 
 def _ll_kernel(ti_ref, tj_ref, mid_r, mid_c, idc_r, idc_c, circ_r, stot_r,
-               la_r, la_c, obs_tile, p_ref, out_ref, *, k_real):
-    """One (TB x TB) tile of one candidate's pair grid.
+               la_r, la_c, obs_tile, tc_ref, p_ref, out_ref, *, k_real, cb):
+    """One (TB x TB) tile of ``cb`` candidates' pair grids.
 
-    The grid enumerates only the upper-triangle tiles (t, c); the
+    The grid enumerates only the upper-triangle tiles (t, g); the
     scalar-prefetched ti/tj arrays map t -> (row block, col block), so no
-    grid step is spent on fully-masked lower tiles. Grid order (t, c):
+    grid step is spent on fully-masked lower tiles. Grid order (t, g):
     the obs tile stays resident across the whole candidate batch.
+
+    ``cb`` candidates are processed per grid step (unrolled): the
+    per-grid-step sequencing overhead (~0.6 us) dominates a (n_tri, B)
+    grid at S1 scale, so chunking the candidate axis 13x is a ~2x
+    end-to-end win (measured; /tmp toy kernel: 0.62 ms pure overhead at
+    975 steps vs 48 us at 75).
+
+    tc_ref (SMEM, (n_tri, 3)): static per-tile masked sums [sum ob,
+    sum ob*la_pair, sum accu_u*accu_v/nfpb] -- observed counts and
+    accumulation weights do not depend on the candidate genome, so a
+    pure-trans tile's whole contribution
+    ``sum ob*(log_v + la) - v_inter*exp(la)`` collapses to the affine
+    form ``log_v*tc[0] + tc[1] - v_inter*tc[2]``: two multiply-adds
+    instead of TB*TB VPU cells.
 
     p_ref (SMEM): [log_c1fact, slope, d, d_max, lm/kuhn, log_v_inter,
                    v_inter, log_norm_circ_const, log_k3fact, log_nfpb]
     """
     t = pl.program_id(0)
-    c = pl.program_id(1)
+    g = pl.program_id(1)
     i = ti_ref[t]
     j = tj_ref[t]
 
-    @pl.when(t == 0)
-    def _():
-        out_ref[c] = 0.0
+    for k in range(cb):
+        c = g * cb + k
 
-    # Tiles with no same-contig pair are pure trans: the expectation is
-    # v_inter * accu_u * accu_v / nfpb — no Rippe evaluation at all.
-    # Early in assembly (small contigs) most off-diagonal tiles qualify.
-    any_same = jnp.any(idc_r[c, :][:, None] == idc_c[c, :][None, :])
+        @pl.when(t == 0)
+        def _init(c=c):
+            out_ref[c] = 0.0
 
-    @pl.when(any_same)
-    def _full():
-        _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r,
-                   la_c, obs_tile, p_ref, out_ref, c, i, j, k_real)
+        # Tiles with no same-contig pair are pure trans: the expectation
+        # is v_inter * accu_u * accu_v / nfpb — no Rippe evaluation at
+        # all, and the whole tile collapses to the precomputed affine
+        # form (tc_ref). Early in assembly (small contigs) most
+        # off-diagonal tiles qualify.
+        any_same = jnp.any(idc_r[c, :][:, None] == idc_c[c, :][None, :])
+        # circular contigs only exist after explicit circularisation
+        # events — skip the always-on circular-variant transcendentals
+        # (a second log and divide per cell) when no row belongs to one
+        any_circ = jnp.any(circ_r[c, :] > 0.0)
 
-    @pl.when(jnp.logical_not(any_same))
-    def _trans():
-        _trans_tile_body(la_r, la_c, obs_tile, p_ref, out_ref, c, i, j,
-                         k_real)
+        @pl.when(any_same & any_circ)
+        def _full_circ(c=c):
+            _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r,
+                       la_c, obs_tile, p_ref, out_ref, c, i, j, k_real,
+                       with_circ=True)
 
+        @pl.when(any_same & jnp.logical_not(any_circ))
+        def _full_lin(c=c):
+            _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r,
+                       la_c, obs_tile, p_ref, out_ref, c, i, j, k_real,
+                       with_circ=False)
 
-def _trans_tile_body(la_r, la_c, obs_tile, p_ref, out_ref, c, i, j, k_real):
-    """Pure-trans tile: contrib = ob * (log_v + la) - v_inter * exp(la)."""
-    log_v = p_ref[5]
-    v_inter = p_ref[6]
-    log_nfpb = p_ref[9]
-    la = la_r[c, :][:, None] + la_c[c, :][None, :] - log_nfpb
-    contrib = obs_tile[:, :] * (log_v + la) - v_inter * jnp.exp(la)
-    row_g = i * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 0)
-    col_g = j * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 1)
-    mask = (col_g > row_g) & (row_g < k_real) & (col_g < k_real)
-    out_ref[c] += jnp.sum(jnp.where(mask, contrib, 0.0))
+        @pl.when(jnp.logical_not(any_same))
+        def _trans(c=c):
+            out_ref[c] += (p_ref[5] * tc_ref[t, 0] + tc_ref[t, 1]
+                           - p_ref[6] * tc_ref[t, 2])
 
 
 def _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r, la_c,
-               obs_tile, p_ref, out_ref, c, i, j, k_real):
+               obs_tile, p_ref, out_ref, c, i, j, k_real, *,
+               with_circ=True):
     log_c1fact = p_ref[0]
     slope = p_ref[1]
     d = p_ref[2]
@@ -134,19 +152,21 @@ def _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r, la_c,
     log_s = jnp.log(safe_s)
     n_lin = safe_s * lm_over_kuhn
     log_lin = log_c1fact + slope * log_s + (d - 2.0) / (n_lin * n_lin + d)
-
-    # circular-contig variant (log space), selected per row
-    circ_row = circ_r[c, :][:, None] == 1
-    stot = stot_r[c, :][:, None]
-    n_circ = lm_over_kuhn * safe_s * jnp.maximum(stot - s, 1e-9) / jnp.maximum(stot, 1e-9)
-    log_val_circ = log_k3fact + slope * jnp.log(n_circ) + (d - 2.0) / (n_circ * n_circ + d)
-    # norm_lin of the reference is the *clamped* linear value
-    log_norm_lin = jnp.maximum(log_lin, log_v)
     in_range = (s > 0.0) & (s < d_max)
-    log_norm_lin = jnp.where(in_range, log_norm_lin, log_v)
-    log_circ = log_val_circ + log_norm_lin - log_norm_circ
 
-    log_cis = jnp.where(circ_row, log_circ, log_lin)
+    if with_circ:
+        # circular-contig variant (log space), selected per row
+        circ_row = circ_r[c, :][:, None] == 1
+        stot = stot_r[c, :][:, None]
+        n_circ = lm_over_kuhn * safe_s * jnp.maximum(stot - s, 1e-9) / jnp.maximum(stot, 1e-9)
+        log_val_circ = log_k3fact + slope * jnp.log(n_circ) + (d - 2.0) / (n_circ * n_circ + d)
+        # norm_lin of the reference is the *clamped* linear value
+        log_norm_lin = jnp.where(in_range, jnp.maximum(log_lin, log_v),
+                                 log_v)
+        log_circ = log_val_circ + log_norm_lin - log_norm_circ
+        log_cis = jnp.where(circ_row, log_circ, log_lin)
+    else:
+        log_cis = log_lin
     log_cis = jnp.where(in_range, log_cis, -jnp.inf)
     log_cis = jnp.maximum(log_cis, log_v)
     log_e0 = jnp.where(same, log_cis, log_v)
@@ -203,12 +223,35 @@ def make_pallas_scorer(table: SubFragTable, obs, interpret: bool = False):
             jnp.log(p.v_inter), p.v_inter, log_norm_circ, log_k3fact,
             jnp.float32(np.log(table.n_frags_per_bins))]).astype(jnp.float32)
 
-    kernel = functools.partial(_ll_kernel, k_real=k_real)
     # upper-triangle tile enumeration (row-major), scalar-prefetched
     tri = [(i, j) for i in range(n_rb) for j in range(i, n_rb)]
     ti_np = np.asarray([i for i, _ in tri], np.int32)
     tj_np = np.asarray([j for _, j in tri], np.int32)
     n_tri = len(tri)
+
+    # static per-tile sums for the pure-trans affine shortcut (f64 host
+    # accumulation; neither obs nor accu depends on the candidate genome)
+    nfpb = float(table.n_frags_per_bins)
+    accu_pad = np.zeros(k_pad, np.float64)
+    accu_pad[:k_real] = np.asarray(table.accu, np.float64)
+    la_pad = np.zeros(k_pad, np.float64)
+    la_pad[:k_real] = np.log(accu_pad[:k_real])
+    obs64 = obs_np.astype(np.float64)
+    tc_np = np.zeros((n_tri, 3), np.float32)
+    for t, (bi, bj) in enumerate(tri):
+        rs = slice(bi * TB, (bi + 1) * TB)
+        cs = slice(bj * TB, (bj + 1) * TB)
+        rg = np.arange(bi * TB, (bi + 1) * TB)[:, None]
+        cg = np.arange(bj * TB, (bj + 1) * TB)[None, :]
+        m = (cg > rg) & (rg < k_real) & (cg < k_real)
+        ob = obs64[rs, cs]
+        lap = (la_pad[rs][:, None] + la_pad[cs][None, :]
+               - np.log(nfpb))
+        acc = accu_pad[rs][:, None] * accu_pad[cs][None, :] / nfpb
+        tc_np[t, 0] = (ob * m).sum()
+        tc_np[t, 1] = (ob * np.where(m, lap, 0.0)).sum()
+        tc_np[t, 2] = (acc * m).sum()
+    tc_dev = jnp.asarray(tc_np)
 
     def _pad_vec(x, fill=0.0):
         return jnp.pad(x, (0, k_pad - k_real), constant_values=fill)
@@ -246,9 +289,9 @@ def make_pallas_scorer(table: SubFragTable, obs, interpret: bool = False):
     def obs_map(t, c, ti, tj):
         return (ti[t], tj[t])
 
-    grid_sp = lambda b: pltpu.PrefetchScalarGridSpec(
+    grid_sp = lambda b, cb: pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(n_tri, b),
+        grid=(n_tri, b // cb),
         in_specs=[
             pl.BlockSpec((b, TB), row_map, memory_space=pltpu.VMEM),  # mid rows
             pl.BlockSpec((b, TB), col_map, memory_space=pltpu.VMEM),  # mid cols
@@ -259,6 +302,7 @@ def make_pallas_scorer(table: SubFragTable, obs, interpret: bool = False):
             pl.BlockSpec((b, TB), row_map, memory_space=pltpu.VMEM),  # log_accu rows
             pl.BlockSpec((b, TB), col_map, memory_space=pltpu.VMEM),  # log_accu cols
             pl.BlockSpec((TB, TB), obs_map, memory_space=pltpu.VMEM), # obs tile
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # tile consts
             pl.BlockSpec(memory_space=pltpu.SMEM),                    # params
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -268,15 +312,18 @@ def make_pallas_scorer(table: SubFragTable, obs, interpret: bool = False):
         vecs = jax.vmap(sub_vectors)(states_batch)
         mid, idc, circ, stot, la = vecs
         b = mid.shape[0]
+        # candidates per grid step: largest divisor of b <= 16 (b is a
+        # multiple of 13 on the EM path, so usually 13)
+        cb = max(d for d in range(1, min(b, 16) + 1) if b % d == 0)
         pvec = params_vector(params)
         out = pl.pallas_call(
-            kernel,
-            grid_spec=grid_sp(b),
+            functools.partial(_ll_kernel, k_real=k_real, cb=cb),
+            grid_spec=grid_sp(b, cb),
             out_shape=jax.ShapeDtypeStruct((b,), jnp.float32),
             interpret=interpret,
         )(jnp.asarray(ti_np), jnp.asarray(tj_np),
           mid, mid, idc.astype(jnp.int32), idc.astype(jnp.int32), circ, stot,
-          la, la, obs_dev, pvec)
+          la, la, obs_dev, tc_dev, pvec)
         return out + jnp.float32(const)
 
     return score

@@ -115,7 +115,8 @@ class Runner:
         os.makedirs(cfg.output_dir, exist_ok=True)
         self.pyramid = pyramid or pyramid_io.build_and_filter(
             cfg.dataset_dir, cfg.pyramid.size, cfg.pyramid.factor,
-            cfg.pyramid.min_bin_per_contig)
+            cfg.pyramid.min_bin_per_contig,
+            ref_quirks=cfg.pyramid.ref_quirks)
         self._setup_level()
         self._setup_matrices()
         self._setup_state()

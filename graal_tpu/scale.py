@@ -729,7 +729,8 @@ def from_dataset(dataset_dir: str, size: int, factor: int = 3,
                  level: int | None = None, min_bin_per_contig: int = 1,
                  max_fit_bins: int = 2048, max_dist_bins_factor: float = 1.0,
                  allow_repeats: bool = False, sub_sample: float = 0.0,
-                 sub_sample_seed: int = 0, progress: bool = True):
+                 sub_sample_seed: int = 0, progress: bool = True,
+                 ref_quirks: bool = False):
     """Build a :class:`ScaleRunner` straight from a reference-format dataset
     directory — the chr1-scale twin of pipeline.Runner, never densifying:
 
@@ -755,7 +756,8 @@ def from_dataset(dataset_dir: str, size: int, factor: int = 3,
     from graal_tpu.pipeline import detect_repeats_coverage, extend_with_repeats
 
     pyr = pyramid_io.build_and_filter(dataset_dir, size, factor,
-                                      min_bin_per_contig)
+                                      min_bin_per_contig,
+                                      ref_quirks=ref_quirks)
     lvl = min(level if level is not None else size - 1, size - 1)
     lev = pyr.get_level(lvl)
     sub = pyr.get_level(max(lvl - 1, 0))
