@@ -60,21 +60,28 @@ def verify_compiled_kernel(scorer, table, obs, state, params):
 
 
 def time_config(cycle, scrambled, l0, params, n_bins, evals_per_step, key,
-                n_cycles=3):
+                n_cycles=3, reps=3):
+    """Each rep runs ``n_cycles`` EM cycles from the scrambled start (a
+    fixed workload mix of scrambled-phase and assembled-phase steps);
+    min over reps — the tunnel's per-dispatch fixed cost jitters by
+    tens to hundreds of ms, which at 3 dispatches per rep would
+    otherwise dominate the measurement."""
     import jax
 
     out = cycle(scrambled, key, params, jax.random.permutation(key, n_bins),
                 l0, 1.0)
     jax.block_until_ready(out)
-    cur, l_t = scrambled, l0
-    t0 = time.perf_counter()
-    for i in range(n_cycles):
-        key, sub = jax.random.split(key)
-        order = jax.random.permutation(sub, n_bins)
-        cur, _, l_t, _ = cycle(cur, key, params, order, l_t, 1.0)
-    jax.block_until_ready(cur)
-    dt = time.perf_counter() - t0
-    return n_cycles * n_bins * evals_per_step / dt
+    best = float("inf")
+    for _ in range(max(reps, 1)):
+        cur, l_t = scrambled, l0
+        t0 = time.perf_counter()
+        for i in range(n_cycles):
+            key, sub = jax.random.split(key)
+            order = jax.random.permutation(sub, n_bins)
+            cur, _, l_t, _ = cycle(cur, key, params, order, l_t, 1.0)
+        jax.block_until_ready(cur)
+        best = min(best, time.perf_counter() - t0)
+    return n_cycles * n_bins * evals_per_step / best
 
 
 def ensure_live_backend(probe_timeout=180):
@@ -136,7 +143,7 @@ def main():
                                                   jnp.float32(t))
         results[sample_param] = time_config(
             wrapped, scrambled, l0, params, n_bins, evals_per_step, key,
-            n_cycles=1 if on_cpu else 3)
+            n_cycles=1 if on_cpu else 3, reps=1 if on_cpu else 3)
 
     anchor, anchor_kind = load_anchor()
     out = {
