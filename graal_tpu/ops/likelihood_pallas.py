@@ -350,23 +350,38 @@ def _log_factorial_vec(ob):
     return jnp.where(ob > 0.0, out, 0.0)
 
 
+def _log_factorial_np(ob):
+    """Host twin of :func:`_log_factorial_vec` (same f32 op order)."""
+    ob = np.asarray(ob, np.float32)
+    n = np.floor(ob)
+    exact = np.zeros_like(ob)
+    for k in range(2, 10):
+        exact = exact + np.where(n >= k, np.float32(np.log(k)),
+                                 np.float32(0.0))
+    stirling = n * np.log(np.maximum(n, 1.0)) - n \
+        + 0.5 * np.log(2.0 * np.pi * np.maximum(n, 1.0))
+    big = ob * np.log(np.maximum(ob, 1.0)) - ob \
+        + np.log(np.sqrt(np.maximum(ob, 1.0) * 2.0 * np.pi))
+    out = np.where(ob >= 15.0, big, np.where(n >= 10, stirling, exact))
+    return np.where(ob > 0.0, out, 0.0).astype(np.float32)
+
+
 def _repeat_kernel(ti_ref, tj_ref, mid_r, mid_c, idc_r, idc_c, circ_r,
-                   stot_r, acc_r, acc_c, act_r, act_c, obs_tile, p_ref,
-                   out_ref, *, k_real, mc):
-    """One (TB x TB) tile of the DATA grid: expected counts are summed over
-    active copy pairs before the Poisson log-pmf (dispatcher/collector
-    loop, kernels3.cu:2895-2929). Copy-slot arrays carry a leading ``mc``
-    axis. The pmf (including log ob!) is computed in full — no
-    observation-constant folding, since E == 0 cells must contribute
-    exactly zero (kernels3.cu:196)."""
+                   stot_r, acc_r, acc_c, act_r, act_c, obs_tile, lf_tile,
+                   p_ref, out_ref, *, k_real, mc, cb):
+    """One (TB x TB) tile of ``cb`` candidates' DATA grids: expected
+    counts are summed over active copy pairs before the Poisson log-pmf
+    (dispatcher/collector loop, kernels3.cu:2895-2929). Copy-slot arrays
+    carry a leading ``mc`` axis. The pmf (including log ob!) is computed
+    in full — no observation-constant folding, since E == 0 cells must
+    contribute exactly zero (kernels3.cu:196). ``lf_tile`` carries the
+    precomputed log(ob!) (static; was ~15 VPU ops/cell/candidate).
+    The circular-contig variant is skipped when no copy row of the tile
+    belongs to a circular contig."""
     t = pl.program_id(0)
-    c = pl.program_id(1)
+    g = pl.program_id(1)
     i = ti_ref[t]
     j = tj_ref[t]
-
-    @pl.when(t == 0)
-    def _():
-        out_ref[c] = 0.0
 
     slope = p_ref[1]
     d = p_ref[2]
@@ -378,48 +393,75 @@ def _repeat_kernel(ti_ref, tj_ref, mid_r, mid_c, idc_r, idc_c, circ_r,
     log_c1fact = p_ref[0]
     nfpb = p_ref[9]
 
-    e_total = jnp.zeros((TB, TB), jnp.float32)
-    for a in range(mc):
-        mr = mid_r[a, c, :]
-        idcr = idc_r[a, c, :]
-        circr = circ_r[a, c, :][:, None] == 1.0
-        stotr = stot_r[a, c, :][:, None]
-        accr = acc_r[a, c, :]
-        actr = act_r[a, c, :]
-        for b2 in range(mc):
-            mcol = mid_c[b2, c, :]
-            s = jnp.abs(mr[:, None] - mcol[None, :])
-            same = idcr[:, None] == idc_c[b2, c, :][None, :]
-            safe_s = jnp.maximum(s, 1e-9)
-            n_lin = safe_s * lm_over_kuhn
-            log_lin = log_c1fact + slope * jnp.log(safe_s) \
-                + (d - 2.0) / (n_lin * n_lin + d)
-            n_circ = lm_over_kuhn * safe_s \
-                * jnp.maximum(stotr - s, 1e-9) / jnp.maximum(stotr, 1e-9)
-            log_val_circ = log_k3fact + slope * jnp.log(n_circ) \
-                + (d - 2.0) / (n_circ * n_circ + d)
-            in_range = (s > 0.0) & (s < d_max)
-            log_norm_lin = jnp.where(in_range,
-                                     jnp.maximum(log_lin, p_ref[5]), p_ref[5])
-            log_circ = log_val_circ + log_norm_lin - log_norm_circ
-            log_cis = jnp.where(circr, log_circ, log_lin)
-            cis = jnp.where(in_range, jnp.exp(log_cis), 0.0)
-            cis = jnp.maximum(cis, v_inter)
-            e0 = jnp.where(same, cis, v_inter)
-            na = accr[:, None] * acc_c[b2, c, :][None, :] / nfpb
-            act = (actr[:, None] > 0.0) & (act_c[b2, c, :][None, :] > 0.0)
-            e_total = e_total + jnp.where(act, e0 * na, 0.0)
+    for k in range(cb):
+        c = g * cb + k
 
-    ob = obs_tile[:, :]
-    logfact = _log_factorial_vec(ob)
-    log_e = jnp.log(jnp.where(e_total > 0.0, e_total, 1.0))
-    pmf = jnp.where(ob > 0.0, ob * log_e - e_total - logfact, -e_total)
-    pmf = jnp.where(e_total > 0.0, pmf, 0.0)
+        @pl.when(t == 0)
+        def _init(c=c):
+            out_ref[c] = 0.0
 
-    row_g = i * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 0)
-    col_g = j * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 1)
-    mask = (col_g > row_g) & (row_g < k_real) & (col_g < k_real)
-    out_ref[c] += jnp.sum(jnp.where(mask, pmf, 0.0))
+        any_circ = jnp.zeros((), jnp.bool_)
+        for a in range(mc):
+            any_circ = any_circ | jnp.any(circ_r[a, c, :] > 0.0)
+
+        def _body(c, with_circ):
+            e_total = jnp.zeros((TB, TB), jnp.float32)
+            for a in range(mc):
+                mr = mid_r[a, c, :]
+                idcr = idc_r[a, c, :]
+                circr = circ_r[a, c, :][:, None] == 1.0
+                stotr = stot_r[a, c, :][:, None]
+                accr = acc_r[a, c, :]
+                actr = act_r[a, c, :]
+                for b2 in range(mc):
+                    mcol = mid_c[b2, c, :]
+                    s = jnp.abs(mr[:, None] - mcol[None, :])
+                    same = idcr[:, None] == idc_c[b2, c, :][None, :]
+                    safe_s = jnp.maximum(s, 1e-9)
+                    n_lin = safe_s * lm_over_kuhn
+                    log_lin = log_c1fact + slope * jnp.log(safe_s) \
+                        + (d - 2.0) / (n_lin * n_lin + d)
+                    in_range = (s > 0.0) & (s < d_max)
+                    if with_circ:
+                        n_circ = lm_over_kuhn * safe_s \
+                            * jnp.maximum(stotr - s, 1e-9) \
+                            / jnp.maximum(stotr, 1e-9)
+                        log_val_circ = log_k3fact + slope * jnp.log(n_circ) \
+                            + (d - 2.0) / (n_circ * n_circ + d)
+                        log_norm_lin = jnp.where(
+                            in_range, jnp.maximum(log_lin, p_ref[5]),
+                            p_ref[5])
+                        log_circ = log_val_circ + log_norm_lin \
+                            - log_norm_circ
+                        log_cis = jnp.where(circr, log_circ, log_lin)
+                    else:
+                        log_cis = log_lin
+                    cis = jnp.where(in_range, jnp.exp(log_cis), 0.0)
+                    cis = jnp.maximum(cis, v_inter)
+                    e0 = jnp.where(same, cis, v_inter)
+                    na = accr[:, None] * acc_c[b2, c, :][None, :] / nfpb
+                    act = (actr[:, None] > 0.0) \
+                        & (act_c[b2, c, :][None, :] > 0.0)
+                    e_total = e_total + jnp.where(act, e0 * na, 0.0)
+
+            ob = obs_tile[:, :]
+            log_e = jnp.log(jnp.where(e_total > 0.0, e_total, 1.0))
+            pmf = jnp.where(ob > 0.0, ob * log_e - e_total - lf_tile[:, :],
+                            -e_total)
+            pmf = jnp.where(e_total > 0.0, pmf, 0.0)
+
+            row_g = i * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 0)
+            col_g = j * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 1)
+            mask = (col_g > row_g) & (row_g < k_real) & (col_g < k_real)
+            out_ref[c] += jnp.sum(jnp.where(mask, pmf, 0.0))
+
+        @pl.when(any_circ)
+        def _circ(c=c):
+            _body(c, True)
+
+        @pl.when(jnp.logical_not(any_circ))
+        def _lin(c=c):
+            _body(c, False)
 
 
 def make_repeat_pallas_scorer(table: SubFragTable, obs,
@@ -432,6 +474,9 @@ def make_repeat_pallas_scorer(table: SubFragTable, obs,
     obs_np = np.zeros((s_pad, s_pad), np.float32)
     obs_np[:s_real, :s_real] = np.asarray(obs, np.float32)
     obs_dev = jnp.asarray(obs_np)
+    # static log(ob!) plane, mirroring _log_factorial_vec's f32 branch
+    # structure (was recomputed per candidate per tile in the kernel)
+    lf_dev = jnp.asarray(_log_factorial_np(obs_np))
 
     # host: copy slots per data sub (dispatcher/collector_id flattening)
     data_id = np.asarray(table.data_id)
@@ -495,23 +540,21 @@ def make_repeat_pallas_scorer(table: SubFragTable, obs,
                 to_pad(circ), to_pad(stot, 1.0), to_pad(acc),
                 to_pad(act.astype(jnp.float32)))
 
-    kernel = functools.partial(_repeat_kernel, k_real=s_real, mc=mc)
-
-    def row_map(t, c, ti, tj):
+    def row_map(t, g, ti, tj):
         return (0, 0, ti[t])
 
-    def col_map(t, c, ti, tj):
+    def col_map(t, g, ti, tj):
         return (0, 0, tj[t])
 
-    def obs_map(t, c, ti, tj):
+    def obs_map(t, g, ti, tj):
         return (ti[t], tj[t])
 
-    def grid_sp(b):
+    def grid_sp(b, cb):
         vec = lambda m: pl.BlockSpec((mc, b, TB), m,
                                      memory_space=pltpu.VMEM)
         return pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=2,
-            grid=(n_tri, b),
+            grid=(n_tri, b // cb),
             in_specs=[
                 vec(row_map), vec(col_map),      # mid
                 vec(row_map), vec(col_map),      # idc
@@ -519,6 +562,7 @@ def make_repeat_pallas_scorer(table: SubFragTable, obs,
                 vec(row_map),                    # stot rows
                 vec(row_map), vec(col_map),      # accu
                 vec(row_map), vec(col_map),      # act
+                pl.BlockSpec((TB, TB), obs_map, memory_space=pltpu.VMEM),
                 pl.BlockSpec((TB, TB), obs_map, memory_space=pltpu.VMEM),
                 pl.BlockSpec(memory_space=pltpu.SMEM),
             ],
@@ -532,14 +576,16 @@ def make_repeat_pallas_scorer(table: SubFragTable, obs,
         mid, idc, circ, stot, acc, act = map(
             tr, (mid, idc, circ, stot, acc, act))
         b = mid.shape[1]
+        cb = max(d for d in range(1, min(b, 16) + 1) if b % d == 0)
         pvec = params_vector(params)
         out = pl.pallas_call(
-            kernel,
-            grid_spec=grid_sp(b),
+            functools.partial(_repeat_kernel, k_real=s_real, mc=mc, cb=cb),
+            grid_spec=grid_sp(b, cb),
             out_shape=jax.ShapeDtypeStruct((b,), jnp.float32),
             interpret=interpret,
         )(jnp.asarray(ti_np), jnp.asarray(tj_np),
-          mid, mid, idc, idc, circ, stot, acc, acc, act, act, obs_dev, pvec)
+          mid, mid, idc, idc, circ, stot, acc, acc, act, act, obs_dev,
+          lf_dev, pvec)
         return out
 
     return score
