@@ -60,12 +60,21 @@ def run_scale(n_bins: int, label: str, batch: int = 65, iters: int = 30):
     fn = jax.jit(scorer)
     out = jax.block_until_ready(fn(cands, params))   # compile
     assert bool(jnp.all(jnp.isfinite(out)))
+
+    # time `iters` back-to-back batches inside ONE dispatched scan — a
+    # host loop of jit calls pays a tunnel-relay round-trip per call
+    # (~10 ms here), which at batch granularity swamps the kernel
+    @jax.jit
+    def loop(c):
+        def body(acc, _):
+            return acc + 0.0 * scorer(cands, params)[0], None
+        acc, _ = jax.lax.scan(body, c, None, length=iters)
+        return acc
+    jax.block_until_ready(loop(jnp.float32(0)))
     t_best = float("inf")
     for _ in range(3):
         t0 = time.perf_counter()
-        for _ in range(iters):
-            out = fn(cands, params)
-        jax.block_until_ready(out)
+        jax.block_until_ready(loop(jnp.float32(0)))
         t_best = min(t_best, (time.perf_counter() - t0) / iters)
 
     # one "step" of the traffic model = one batch of `batch` candidates

@@ -360,7 +360,8 @@ class Runner:
                             {"cycle": j, "loglik": float(l_t),
                              "n_contigs": int(np.asarray(m.n_contigs)[-1]),
                              "dist": dist, "T": round(f_t, 2)},
-                            collected["likelihood"][::max(1, n // 4)])
+                            collected["likelihood"][::max(1, n // 4)],
+                            state=state, chrom_of_bin=chrom_idx)
         if profile_dir is not None and cycle_times:
             timer.print_report("EM profiling")
             steady = cycle_times[1:] or cycle_times

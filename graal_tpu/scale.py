@@ -429,7 +429,8 @@ class ScaleRunner:
                 if dist is not None:
                     stats["dist"] = dist
                 live.update(snapshot_dir or ".", stats,
-                            metrics["likelihood"])
+                            metrics["likelihood"],
+                            state=state, chrom_of_bin=chrom_of_bin)
             if progress:
                 msg = (f"scale cycle {j}: loglik={float(l_t):.1f} "
                        f"n_contigs={nc} f_max={bucket} overflow={n_over} "

@@ -85,3 +85,32 @@ def test_watch_live_view(tmp_path):
     assert status["stats"]["cycle"] == 1
     assert len(status["likelihood"]) > 1
     assert os.path.exists(os.path.join(out, "layout_latest.png"))
+    # 3D particle view payload (the gl_update_pos redesign): one particle
+    # per fragment with contig/position targets + chromosome colour
+    with open(os.path.join(out, "live_particles.json")) as fh:
+        parts = json.load(fh)
+    n = len(parts["id_c"])
+    assert n > 0 and len(parts["pos"]) == n and len(parts["chrom"]) == n
+    page = open(os.path.join(out, "live.html")).read()
+    assert "live_particles.json" in page and "canvas" in page
+
+
+def test_particle_payload_repeat_expansion_and_stride():
+    """particle_payload maps chromosome colours through id_d for
+    repeat-expanded genomes and strides chr1-scale states down to a
+    browser-sized payload."""
+    import numpy as np
+    from graal_tpu.core.state import GenomeState
+    from graal_tpu.utils.live import particle_payload
+
+    n = 50_000
+    state = GenomeState.from_soa(dict(
+        pos=np.zeros(n), id_c=np.arange(n), start_bp=np.zeros(n),
+        len_bp=np.full(n, 4000), circ=np.zeros(n), l_cont=np.ones(n),
+        l_cont_bp=np.full(n, 4000), ori=np.ones(n), rep=np.zeros(n),
+        activ=np.ones(n), id_d=np.arange(n) % 1000))
+    chrom_of_bin = np.arange(1000) % 7        # data-bin indexed (shorter)
+    p = particle_payload(state, chrom_of_bin, max_particles=20_000)
+    assert len(p["id_c"]) <= 20_000
+    assert p["chrom"][0] == int(chrom_of_bin[0])
+    assert "active" not in p                  # all active -> omitted
