@@ -98,7 +98,7 @@ def _ll_kernel(ti_ref, tj_ref, mid_r, mid_c, idc_r, idc_c, circ_r, stot_r,
 
         @pl.when(t == 0)
         def _init(c=c):
-            out_ref[c] = 0.0
+            out_ref[0, c] = 0.0
 
         # Tiles with no same-contig pair are pure trans: the expectation
         # is v_inter * accu_u * accu_v / nfpb — no Rippe evaluation at
@@ -125,8 +125,8 @@ def _ll_kernel(ti_ref, tj_ref, mid_r, mid_c, idc_r, idc_c, circ_r, stot_r,
 
         @pl.when(jnp.logical_not(any_same))
         def _trans(c=c):
-            out_ref[c] += (p_ref[5] * tc_ref[t, 0] + tc_ref[t, 1]
-                           - p_ref[6] * tc_ref[t, 2])
+            out_ref[0, c] += (p_ref[5] * tc_ref[t, 0] + tc_ref[t, 1]
+                              - p_ref[6] * tc_ref[t, 2])
 
 
 def _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r, la_c,
@@ -181,7 +181,7 @@ def _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r, la_c,
     row_g = i * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 0)
     col_g = j * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 1)
     mask = (col_g > row_g) & (row_g < k_real) & (col_g < k_real)
-    out_ref[c] += jnp.sum(jnp.where(mask, contrib, 0.0))
+    out_ref[0, c] += jnp.sum(jnp.where(mask, contrib, 0.0))
 
 
 def make_pallas_scorer(table: SubFragTable, obs, interpret: bool = False):
@@ -316,15 +316,19 @@ def make_pallas_scorer(table: SubFragTable, obs, interpret: bool = False):
         # multiple of 13 on the EM path, so usually 13)
         cb = max(d for d in range(1, min(b, 16) + 1) if b % d == 0)
         pvec = params_vector(params)
+        # out shape (1, b): the trailing two dims equal the array dims, so
+        # jax.vmap of the whole scorer (e.g. tempered chains on one chip)
+        # batches the SMEM output legally (a 1-D (b,) output lowers to a
+        # (Squeezed, b) block under vmap, which Mosaic rejects)
         out = pl.pallas_call(
             functools.partial(_ll_kernel, k_real=k_real, cb=cb),
             grid_spec=grid_sp(b, cb),
-            out_shape=jax.ShapeDtypeStruct((b,), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
             interpret=interpret,
         )(jnp.asarray(ti_np), jnp.asarray(tj_np),
           mid, mid, idc.astype(jnp.int32), idc.astype(jnp.int32), circ, stot,
           la, la, obs_dev, tc_dev, pvec)
-        return out + jnp.float32(const)
+        return out[0] + jnp.float32(const)
 
     return score
 
@@ -398,7 +402,7 @@ def _repeat_kernel(ti_ref, tj_ref, mid_r, mid_c, idc_r, idc_c, circ_r,
 
         @pl.when(t == 0)
         def _init(c=c):
-            out_ref[c] = 0.0
+            out_ref[0, c] = 0.0
 
         any_circ = jnp.zeros((), jnp.bool_)
         for a in range(mc):
@@ -453,7 +457,7 @@ def _repeat_kernel(ti_ref, tj_ref, mid_r, mid_c, idc_r, idc_c, circ_r,
             row_g = i * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 0)
             col_g = j * TB + jax.lax.broadcasted_iota(jnp.int32, (TB, TB), 1)
             mask = (col_g > row_g) & (row_g < k_real) & (col_g < k_real)
-            out_ref[c] += jnp.sum(jnp.where(mask, pmf, 0.0))
+            out_ref[0, c] += jnp.sum(jnp.where(mask, pmf, 0.0))
 
         @pl.when(any_circ)
         def _circ(c=c):
@@ -581,11 +585,11 @@ def make_repeat_pallas_scorer(table: SubFragTable, obs,
         out = pl.pallas_call(
             functools.partial(_repeat_kernel, k_real=s_real, mc=mc, cb=cb),
             grid_spec=grid_sp(b, cb),
-            out_shape=jax.ShapeDtypeStruct((b,), jnp.float32),
+            out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
             interpret=interpret,
         )(jnp.asarray(ti_np), jnp.asarray(tj_np),
           mid, mid, idc, idc, circ, stot, acc, acc, act, act, obs_dev,
           lf_dev, pvec)
-        return out
+        return out[0]
 
     return score
