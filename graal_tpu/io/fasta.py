@@ -9,6 +9,9 @@ orientation-aware export of the reassembled genome with its companion
 
 from __future__ import annotations
 
+import json
+import os
+
 import numpy as np
 
 _COMPLEMENT = str.maketrans("TAGCtagc", "ATCGatcg")
@@ -89,4 +92,35 @@ def export_assembly(state, frag_chrom, frag_start, frag_end, sequences,
                 info.write(f"{chrom}\t{b}\t{int(ori[f])}\t{start}\t{end}\n")
             out_contigs[header] = "".join(seq_parts)
     write_fasta(fasta_path, out_contigs, line_len=60)
+    stats = assembly_stats([len(s) for s in out_contigs.values()])
+    stats_path = os.path.join(os.path.dirname(os.path.abspath(fasta_path)),
+                              "assembly_stats.json")
+    with open(stats_path, "w") as fh:
+        json.dump(stats, fh, indent=1)
     return out_contigs
+
+
+def assembly_stats(lengths) -> dict:
+    """Standard scaffold statistics of an assembly (no reference
+    equivalent — the reference reports only contig count/mean length,
+    main_gl.py:98-113): total/largest length, N50/L50, N90/L90.
+
+    N50 = length of the shortest contig in the smallest set of longest
+    contigs covering >= 50% of the assembly; L50 = that set's size.
+    """
+    ls = sorted((int(x) for x in lengths), reverse=True)
+    total = int(sum(ls))
+    out = {"n_contigs": len(ls), "total_bp": total,
+           "largest_bp": ls[0] if ls else 0,
+           "mean_bp": round(total / len(ls), 1) if ls else 0.0}
+    for frac, name in ((0.5, "50"), (0.9, "90")):
+        acc = 0
+        nxx, lxx = 0, 0
+        for i, x in enumerate(ls):
+            acc += x
+            if acc >= frac * total:
+                nxx, lxx = x, i + 1
+                break
+        out[f"N{name}_bp"] = nxx
+        out[f"L{name}"] = lxx
+    return out

@@ -134,3 +134,17 @@ class TestFasta:
         fasta.write_fasta(path, seqs)
         got = fasta.load_fasta(path)
         assert got == seqs
+
+
+def test_assembly_stats_n50():
+    """Standard scaffold statistics (N50/L50/N90/L90 with the >= cumulative
+    convention)."""
+    from graal_tpu.io.fasta import assembly_stats
+
+    s = assembly_stats([100, 200, 300, 400])
+    assert s == {"n_contigs": 4, "total_bp": 1000, "largest_bp": 400,
+                 "mean_bp": 250.0, "N50_bp": 300, "L50": 2,
+                 "N90_bp": 200, "L90": 3}
+    assert assembly_stats([])["n_contigs"] == 0
+    one = assembly_stats([5000])
+    assert one["N50_bp"] == 5000 and one["L50"] == 1

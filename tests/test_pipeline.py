@@ -55,6 +55,14 @@ def test_em_converges_and_outputs(runner, dataset):
         assert os.path.exists(os.path.join(out, f)), f
     contigs = runner.export_fasta(assembly, os.path.join(dataset, "genome.fa"))
     assert len(contigs) >= 1
+    # scaffold statistics written next to the FASTA
+    import json
+    with open(os.path.join(out, "assembly_stats.json")) as fh:
+        stats = json.load(fh)
+    assert stats["n_contigs"] == len(contigs)
+    assert stats["total_bp"] == sum(len(s) for s in contigs.values())
+    assert stats["N50_bp"] >= stats["N90_bp"] > 0
+    assert stats["L50"] <= stats["L90"]
     # checkpoint written every cycle
     assert os.path.exists(os.path.join(out, "checkpoint.npz"))
 
