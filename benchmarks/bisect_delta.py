@@ -55,7 +55,7 @@ def timed_scan(fn, n_iter, *args):
     return best, float(out)
 
 
-def main(n_bins=20_000, f_max=512, iters=64):
+def main(n_bins=20_000, f_max=512, iters=64, coverage=None):
     import jax
     import jax.numpy as jnp
     from graal_tpu.core import delta as dm
@@ -65,9 +65,14 @@ def main(n_bins=20_000, f_max=512, iters=64):
     from graal_tpu.utils.synthetic_sparse import (make_scale_genome,
                                                   scale_params,
                                                   shuffle_genome,
-                                                  simulate_sparse_contacts)
+                                                  simulate_sparse_contacts,
+                                                  thin_coverage)
 
     params = scale_params()
+    if coverage is None:   # match bench_scale: thin above 200k bins
+        coverage = 1.0 if n_bins <= 200_000 else 0.1
+    if coverage != 1.0:
+        params = thin_coverage(params, coverage)
     state, table = make_scale_genome(n_bins, max(n_bins // 5000, 4), seed=31)
     sobs = simulate_sparse_contacts(state, table, params, seed=31)
     runner = ScaleRunner(table, sobs, params)
@@ -81,6 +86,8 @@ def main(n_bins=20_000, f_max=512, iters=64):
     dscore = dm.make_delta_scorer(table, None, f_max, sobs=sobs,
                                   band_w=band_w)
     d_grid = dm.make_delta_scorer(table, None, f_max, sobs=sobs)
+    d_grid_ein = dm.make_delta_scorer(table, None, f_max, sobs=sobs,
+                                      obs_impl="einsum")
     d_no_obs = dm.make_delta_scorer(table, None, f_max, sobs=sobs,
                                     _ablate="obs")
     d_no_esum = dm.make_delta_scorer(table, None, f_max, sobs=sobs,
@@ -159,6 +166,7 @@ def main(n_bins=20_000, f_max=512, iters=64):
     for name, fn in [("A_gather", stage_a), ("B_candidates", stage_b),
                      ("C_score", stage_c),
                      ("Cg_grid", make_score_stage(d_grid)),
+                     ("Cge_grid_einsum", make_score_stage(d_grid_ein)),
                      ("Cn_no_obs", make_score_stage(d_no_obs)),
                      ("Cn_no_esum", make_score_stage(d_no_esum)),
                      ("Cn_no_windows", make_score_stage(d_no_win)),
@@ -170,6 +178,7 @@ def main(n_bins=20_000, f_max=512, iters=64):
     results.update({
         "metric": "delta_step_bisect",
         "n_fragments": n_bins,
+        "coverage": coverage,
         "f_max": f_max,
         "iters": iters,
         "platform": jax.default_backend(),
@@ -187,4 +196,5 @@ if __name__ == "__main__":
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 20_000
     f = int(sys.argv[2]) if len(sys.argv) > 2 else 512
     it = int(sys.argv[3]) if len(sys.argv) > 3 else 64
-    main(n, f, it)
+    cov = float(sys.argv[4]) if len(sys.argv) > 4 else None
+    main(n, f, it, cov)

@@ -51,6 +51,7 @@ automatically by :func:`make_delta_em_step`.
 
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
@@ -117,15 +118,72 @@ def extract_rows(state: GenomeState, f_a, f_b, f_max: int):
     return rows.astype(jnp.int32), valid, overflow
 
 
+def extract_rows_union(state: GenomeState, f_a, ids, f_max: int):
+    """Batched neighbour extraction through ONE genome-length top_k.
+
+    The per-neighbour :func:`extract_rows` pays a top_k over all n
+    fragments per neighbour — lowered to a full sort on TPU, measured as
+    the dominant cost of the extraction stage (2.3 of 4.5 ms per step at
+    500k fragments). All m neighbours share contig(fA), so this gathers
+    the UNION of the m+1 contigs' members with one n-length top_k of
+    capacity (m+1)*f_max, then selects each neighbour's rows with a tiny
+    top_k over the union. Contigs larger than f_max are excluded from
+    the union (every pair touching them overflows anyway), which keeps
+    the union within capacity.
+
+    Returns (rows (m, f_max), valid (m, f_max), overflow (m,)) with
+    identical member sets/order as extract_rows; padding entries differ
+    (inert either way). Overflow is computed exactly from l_cont.
+    """
+    n = state.n_frags
+    m = ids.shape[0]
+    u_cap = min(n, (m + 1) * f_max)
+    c_a = state.id_c[f_a]
+    l_a = state.l_cont[f_a]
+    c_bs = state.id_c[ids]                                  # (m,)
+    l_bs = state.l_cont[ids]
+    inc_a = l_a <= f_max
+    inc_b = l_bs <= f_max
+    memb_b = (state.id_c[:, None] == c_bs[None, :]) & inc_b[None, :]
+    member_u = ((state.id_c == c_a) & inc_a) | jnp.any(memb_b, axis=1)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    key_u = jnp.where(member_u, 2 * n - idx, -idx - 1)
+    _, rows_u = jax.lax.top_k(key_u, u_cap)                 # ascending members
+    rows_u = rows_u.astype(jnp.int32)
+    valid_u = member_u[rows_u]
+    idc_u = jnp.where(valid_u, state.id_c[rows_u], -1)
+    uidx = jnp.arange(u_cap, dtype=jnp.int32)
+
+    overflow = jnp.where(c_bs == c_a, l_a,
+                         l_a + l_bs) > f_max                # (m,)
+
+    def one(c_b):
+        memb = (idc_u == c_a) | (idc_u == c_b)
+        key = jnp.where(memb, 2 * u_cap - uidx, -uidx - 1)
+        _, sel = jax.lax.top_k(key, min(f_max, u_cap))
+        return rows_u[sel], memb[sel]
+
+    rows, valid = jax.vmap(one)(c_bs)
+    return rows, valid, overflow
+
+
 _PAD_FIELDS = dict(pos=0, start_bp=0, l_cont=1, l_cont_bp=1, circ=0, ori=1,
                    activ=0, rep=0)
 
 
 def gather_mini(state: GenomeState, rows, valid) -> GenomeState:
     """Gather a mini-state at ``rows``; padding rows become inert inactive
-    singletons with unique negative contig ids (no op can touch them)."""
+    singletons with unique negative contig ids (no op can touch them).
+
+    All 11 fields ride ONE gather from a stacked (n, 11) matrix — gather
+    cost is per row fetched, not per element, and the stack itself is
+    unbatched (one O(n) pass per step, hoisted above the neighbour vmap),
+    where 11 separate per-field gathers paid 11x the rows (the same
+    observation as scatter_mini's write-back)."""
     f_max = rows.shape[0]
-    mini = jax.tree.map(lambda x: x[rows], state)
+    mat = jnp.stack(state, axis=1)                         # (n, 11) int32
+    got = mat[rows]
+    mini = GenomeState(*(got[:, i] for i in range(len(state))))
     pad_idc = -(jnp.arange(f_max, dtype=jnp.int32) + 2)
     repl = {"id_c": jnp.where(valid, mini.id_c, pad_idc)}
     for f, fill in _PAD_FIELDS.items():
@@ -211,8 +269,11 @@ def effective_band_w(band_w: int | None, table: SubFragTable,
 
 def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
                       candidate_batch: str = "auto", band_w: int | None = None,
-                      catalogue=None, _ablate: str | None = None,
-                      _off_chunk: int | None = None):
+                      catalogue=None, obs_impl: str = "auto",
+                      grid_impl: str = "auto",
+                      _ablate: str | None = None,
+                      _off_chunk: int | None = None,
+                      _window_fetch: str = "wide"):
     """Build the per-neighbour delta scorer.
 
     Returns ``dscore(state, f_a, f_b, params, max_id) ->
@@ -243,6 +304,18 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
     nuisance d_max proposals inside the covered span. None keeps the
     dense pair grid (small problems, and the oracle for tests).
 
+    ``obs_impl``: contraction used to densify the CSR windows into the
+    (R, R) observed grid — 'pallas' (fused VMEM kernel,
+    ops/obsgrid_pallas.py), 'einsum' (XLA one-hot matmul), or 'auto'
+    (pallas on a TPU backend when r_max >= 256, einsum otherwise).
+
+    ``grid_impl``: per-candidate pair-grid evaluation — 'pallas' (fused
+    tile kernel, ops.likelihood_pallas.make_mini_grid_scorer: no (R, R)
+    HBM intermediates, upper-triangle tiles only), 'jnp' (the grid_terms
+    formulation; the CPU/test oracle), or 'auto' (pallas on a TPU
+    backend when r_max >= 256, unless a banded mass path or an ablation
+    is requested).
+
     NOTE: this function honours ``band_w`` literally (the banded-vs-grid
     equality test relies on that). The band is only a *win* when it is
     much narrower than the mini grid — a (R, band_w) slab plus a lexsort
@@ -263,12 +336,18 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
     if not use_window:
         obs_j = jnp.asarray(obs, jnp.float32)
 
-    # 'auto' always vmaps: the sequential lax.map variant reproducibly
+    # 'auto': vmap on TPU — the sequential lax.map variant reproducibly
     # crashes the TPU worker at r_max >= 2048 (observed on v5e — also the
     # likely cause of the round-1 K=6000 delta fault), while the vmapped
-    # grids run fine; 'map' remains selectable for memory-bound hosts.
+    # grids run fine. On CPU the opposite holds: 13 vmapped (R, R)
+    # candidate grids x the neighbour batch MATERIALISE (no TPU-style
+    # fusion) — measured >100 GB peak RSS when the 100k-fragment test hit
+    # a 4096 bucket — so large grids map sequentially there.
     if candidate_batch == "auto":
-        candidate_batch = "vmap"
+        if jax.default_backend() != "tpu" and r_max >= 2048:
+            candidate_batch = "map"
+        else:
+            candidate_batch = "vmap"
 
     sub_len = table.len_kb
     sub_pre = table.prefix_kb
@@ -354,6 +433,17 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
         return mass + corr_sum
 
     use_banded = band_w is not None
+    if grid_impl == "auto":
+        use_grid_kernel = (jax.default_backend() == "tpu" and r_max >= 256
+                           and not use_banded and _ablate is None)
+    else:
+        use_grid_kernel = grid_impl == "pallas"
+    if use_grid_kernel:
+        from graal_tpu.ops.likelihood_pallas import make_mini_grid_scorer
+        log_nfpb = float(np.log(float(table.n_frags_per_bins)))
+        mini_scorers = {
+            wc: make_mini_grid_scorer(r_max, log_nfpb, with_circ=wc)
+            for wc in (True, False)}
     if use_banded:
         # live-slab budget per batched lane (see e_sum_banded note);
         # _off_chunk overrides for tests
@@ -377,52 +467,102 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
         # losslessly).
         packed = sobs.packed                                   # (nnz, 2)
 
-        def obs_grid(subs, sub_valid):
-            """(R, R) weighted observed-count matrix of the D sub rows.
+        n_ch = (cap + 14) // 8   # 8-entry storage rows covering any window
 
-            CSR windows are read once per neighbour and accumulated into a
-            dense mini matrix (candidate independent) so per-candidate
-            scoring is a pure elementwise grid contraction with ZERO
-            gathers — device traces showed the per-candidate (R, cap)
-            window gathers were ~17.6 of an 18.8 ms scorer while the
-            transcendental grids were ~1 ms. The accumulation itself is a
-            batched one-hot MATMUL over the column slots, not a scatter:
-            TPU scatter-adds serialise per element and were the single
-            largest stage left (~4.7 ms of a 5.9 ms scorer at R=512);
-            the fused one-hot contraction rides the MXU at 2.7x faster
-            end to end (benchmarks/micro_obgrid.py). Symmetric storage
-            puts each in-D pair in both orientations -> only the upper
-            orientation is kept (weight 1.0).
+        def window_cols_vals(subs, sub_valid):
+            """CSR windows of the D sub rows: (R, capw) column ids and
+            masked counts, read once per neighbour (capw = padded window
+            width, a multiple of 8).
+
+            Fetched through the WIDE packed layout (8 entries per storage
+            row, core/sparse.py): one fast-path gather row per 8 window
+            entries instead of one per entry — the per-entry flat gather
+            was the single largest op of the chr1-scale step (device
+            trace: 1.1 of 3.2 ms at 20k fragments; ~17.8 of 28 ms
+            scoring at 500k). A window's entries land lane-shifted by
+            (start % 8), which no consumer cares about: the obs-grid
+            contraction is position-agnostic. ('flat' per-entry fetch
+            kept for the A/B harness, benchmarks/bisect_delta.py.)
             """
             rc = jnp.clip(subs, 0, k_subs - 1)
-            start = sobs.row_start[rc]
+            start = jnp.minimum(sobs.row_start[rc], nnz)
             end = sobs.row_start[rc + 1]
+            if _window_fetch == "wide":
+                base = start >> 3                              # (R,)
+                rows_w = base[:, None] + jnp.arange(n_ch, dtype=jnp.int32)
+                pk = packed[rows_w.reshape(-1)].reshape(
+                    (-1, n_ch, 8, 2))                          # (R,n_ch,8,2)
+                g = rows_w[:, :, None] * 8 \
+                    + jnp.arange(8, dtype=jnp.int32)[None, None, :]
+                win_valid = (g >= start[:, None, None]) \
+                    & (g < end[:, None, None]) \
+                    & sub_valid[:, None, None]
+                cols = pk[..., 0].reshape((-1, n_ch * 8))
+                vals = jnp.where(
+                    win_valid,
+                    jax.lax.bitcast_convert_type(pk[..., 1], jnp.float32),
+                    0.0).reshape((-1, n_ch * 8))
+                return cols, vals
             win = start[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
             win_valid = (win < end[:, None]) & sub_valid[:, None]
             win = jnp.clip(win, 0, nnz - 1)
-            pk = packed[win]                                   # (R, cap, 2)
-            cols = pk[..., 0]
-            vals = jnp.where(
-                win_valid,
-                jax.lax.bitcast_convert_type(pk[..., 1], jnp.float32), 0.0)
-            # membership IS the one-hot: compare window columns directly
-            # against the D sub rows inside the contraction — no inverse
-            # slot map at all (the r_max-scatter + inv[cols] gather was
-            # ~1.7 ms of the 5 ms step in device traces; a sorted search
-            # costs log2(r_max) SERIAL gather rounds, 17 ms). Padding
-            # slots get key -1 (no column can match); symmetric storage
-            # puts each in-D pair in both orientations, so the strict
-            # upper triangle of the result keeps exactly one.
-            key_j = jnp.where(sub_valid, subs, -1)
-            oh = cols[:, :, None] == key_j[None, None, :]
-            # vals operand at HIGHEST precision: the TPU MXU rounds DEFAULT
-            # f32 operands to bf16, which would corrupt observed counts
-            # > 256; the one-hot operand is 0/1 — exact in bf16 — so it
-            # stays at DEFAULT and costs no extra passes
-            ob = jnp.einsum("rw,rwj->rj", vals, oh.astype(jnp.float32),
-                            precision=(jax.lax.Precision.HIGHEST,
-                                       jax.lax.Precision.DEFAULT))
-            return jnp.where(strict_upper, ob, 0.0)
+            cols = jnp.where(win_valid, sobs.cols[win], -1)
+            vals = jnp.where(win_valid, sobs.vals[win], 0.0)
+            return cols, vals
+
+        # membership IS the one-hot: compare window columns directly
+        # against the D sub rows — no inverse slot map at all (the
+        # r_max-scatter + inv[cols] gather was ~1.7 ms of the 5 ms step
+        # in device traces; a sorted search costs log2(r_max) SERIAL
+        # gather rounds, 17 ms). Padding slots get key -1 (no column can
+        # match); symmetric storage puts each in-D pair in both
+        # orientations, so the strict upper triangle keeps exactly one.
+        # Two implementations of the contraction:
+        #   - 'pallas': fused VMEM compare-accumulate kernel
+        #     (ops/obsgrid_pallas.py) — the default on TPU. The XLA
+        #     einsum materialises an (R, cap, R) float one-hot in HBM
+        #     (~750 MB at R 1024/cap 180) and was the largest stage of
+        #     the 100k-fragment step (~5.1 of 10.1 ms,
+        #     benchmarks/bisect_delta.py); the kernel keeps the whole
+        #     accumulation in VMEM.
+        #   - 'einsum': the one-hot MATMUL (vals operand at HIGHEST
+        #     precision: the TPU MXU rounds DEFAULT f32 operands to
+        #     bf16, which would corrupt observed counts > 256; the
+        #     one-hot operand is 0/1 — exact in bf16). CPU tests and
+        #     the oracle path use this.
+        if obs_impl == "auto":
+            use_kernel = jax.default_backend() == "tpu" and r_max >= 256
+        else:
+            use_kernel = obs_impl == "pallas"
+        if use_kernel:
+            from graal_tpu.ops.obsgrid_pallas import make_window_obs_grid
+            capw = n_ch * 8 if _window_fetch == "wide" else cap
+            window_grid = make_window_obs_grid(r_max, capw)
+
+            def obs_grid(subs, sub_valid):
+                cols, vals = window_cols_vals(subs, sub_valid)
+                key_j = jnp.where(sub_valid, subs, -1)
+                ob = window_grid(cols, vals, key_j)
+                return jnp.where(strict_upper, ob, 0.0)
+        else:
+            def obs_grid(subs, sub_valid):
+                cols, vals = window_cols_vals(subs, sub_valid)
+                key_j = jnp.where(sub_valid, subs, -1)
+                # key axis consumed in bounded chunks: a monolithic
+                # (R, capw, R) float one-hot is ~750 MB at R 1024 /
+                # capw 184 (and blew CPU test memory at 100k fragments);
+                # splitting the einsum OUTPUT axis is bitwise identical
+                capw = cols.shape[1]
+                jc = max(8, min(r_max, (64 << 20) // max(4 * capw * r_max, 1)))
+                parts = []
+                for lo in range(0, r_max, jc):
+                    oh = cols[:, :, None] == key_j[None, None, lo:lo + jc]
+                    parts.append(jnp.einsum(
+                        "rw,rwj->rj", vals, oh.astype(jnp.float32),
+                        precision=(jax.lax.Precision.HIGHEST,
+                                   jax.lax.Precision.DEFAULT)))
+                ob = jnp.concatenate(parts, axis=1)
+                return jnp.where(strict_upper, ob, 0.0)
     else:
         def obs_grid(subs, sub_valid):
             """Dense path: gather the (R, R) block, strict upper only."""
@@ -462,14 +602,22 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
         return w - es
 
     def dscore_spec(state: GenomeState, f_a, f_b, params: RippeParams,
-                    max_id, with_circ: bool):
+                    max_id, with_circ: bool, rows=None, valid=None,
+                    overflow=None):
         """Circ-specialised scorer: ``with_circ`` is a PYTHON bool, so only
         one branch is traced. Callers that batch dscore (vmap over
         neighbours) must hoist the circular/linear decision above the batch
         axis themselves — under vmap a lax.cond lowers to a select that
         computes BOTH branches, doubling the whole scoring cost (measured:
-        benchmarks/bisect_delta.py)."""
-        rows, valid, overflow = extract_rows(state, f_a, f_b, f_max)
+        benchmarks/bisect_delta.py).
+
+        ``rows``/``valid``/``overflow``: optional precomputed member set
+        (extract_rows semantics) — make_delta_em_step batches the
+        extraction for all neighbours through ONE genome-length top_k
+        (:func:`extract_rows_union`) and passes the per-neighbour slices
+        here."""
+        if rows is None:
+            rows, valid, overflow = extract_rows(state, f_a, f_b, f_max)
         mini = gather_mini(state, rows, valid)
         lf_a = jnp.argmax(rows == f_a).astype(jnp.int32)
         lf_b = jnp.argmax(rows == f_b).astype(jnp.int32)
@@ -486,6 +634,23 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
         # out of the per-candidate scoring
         accu_sub = sub_accu[subs_c]
         log_accu = jnp.log(accu_sub)
+
+        if use_grid_kernel:
+            # fused Pallas tile loop over base + 13 candidates in one
+            # call: no per-candidate (R, R) HBM intermediates, and only
+            # upper-triangle tiles are enumerated (see
+            # ops.likelihood_pallas.make_mini_grid_scorer)
+            full = jax.tree.map(
+                lambda m, c: jnp.concatenate([m[None], c], axis=0),
+                mini, cands)
+            geo = jax.vmap(
+                lambda st: geometry(st, subs_c, sub_valid, owner_slot))(full)
+            la = jnp.where(geo["act"], log_accu[None, :], -1e9)
+            scores = mini_scorers[with_circ](
+                geo["mid"], geo["idc"], geo["circ"].astype(jnp.float32),
+                geo["stot"], la, ob, params)
+            return scores[1:] - scores[0], cands, rows, valid, overflow
+
         log_na_grid = log_accu[:, None] + log_accu[None, :] - jnp.log(nfpb)
 
         geo_base = geometry(mini, subs_c, sub_valid, owner_slot)
@@ -566,7 +731,14 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
             band_w=effective_band_w(band_w, table, f_max))
     mt = build_mini_table(table, allow_repeats=True)
     if neighbour_batch == "auto":
-        neighbour_batch = "vmap"
+        # same CPU-memory guard as the candidate axis (make_delta_scorer):
+        # on CPU at large buckets the vmapped neighbour lanes multiply the
+        # materialised grids 5x
+        r_max_eff = min(f_max, mt.n_frags) * mt.s_max
+        if jax.default_backend() != "tpu" and r_max_eff >= 2048:
+            neighbour_batch = "map"
+        else:
+            neighbour_batch = "vmap"
 
     def step(state: GenomeState, key, params: RippeParams, l_t, f_a, f_t):
         k_nb, k_sel = jax.random.split(key)
@@ -583,15 +755,34 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
         any_circ = jnp.any(state.circ == 1) | \
             jnp.any(state.id_c[ids] == state.id_c[f_a])
 
+        if not table.has_repeats:
+            # one genome-length top_k for ALL neighbours (the
+            # per-neighbour extraction lowers to a full n-element sort on
+            # TPU and dominated the stage at 500k fragments: 2.3 of
+            # 4.5 ms); the repeat scorer keeps its own extraction
+            fmx = min(f_max, mt.n_frags)
+            rows_b, valid_b, over_b = extract_rows_union(state, f_a, ids,
+                                                         fmx)
+
+            def score_nb(fb, rows, rvalid, over, with_circ):
+                return dscore.spec(state, f_a, fb, params, max_id,
+                                   with_circ, rows=rows, valid=rvalid,
+                                   overflow=over)
+
+            nb_args = (ids, rows_b, valid_b, over_b)
+        else:
+            def score_nb(fb, with_circ):
+                return dscore.spec(state, f_a, fb, params, max_id,
+                                   with_circ)
+
+            nb_args = (ids,)
+
         def score_branch(with_circ):
             def run(_):
-                def score_nb(fb):
-                    return dscore.spec(state, f_a, fb, params, max_id,
-                                       with_circ)
-
+                fn = functools.partial(score_nb, with_circ=with_circ)
                 if neighbour_batch == "vmap":
-                    return jax.vmap(score_nb)(ids)
-                return jax.lax.map(score_nb, ids)
+                    return jax.vmap(fn)(*nb_args)
+                return jax.lax.map(lambda a: fn(*a), nb_args)
             return run
 
         dll, minis, rows, rows_valid, overflow = jax.lax.cond(

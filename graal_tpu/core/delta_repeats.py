@@ -103,11 +103,13 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
     c_max = ct.c_max
     k_subs = table.n_subs
     s_dim = table.n_data_sub
-    cap = sobs.row_cap
     nnz = sobs.cols.shape[0]
     nfpb = jnp.float32(table.n_frags_per_bins)
-    # (col, val) int32 pack, built once on the SparseObs (see core.delta
-    # obs_grid for the dtype and dynamic_slice rationale)
+    # WIDE (col, val) window storage, built once on the SparseObs (see
+    # core.delta window_cols_vals for the layout and gather rationale);
+    # windows here are (R, cap) with cap the 8-aligned padded width
+    n_ch = (sobs.row_cap + 14) // 8
+    cap = n_ch * 8
     packed = sobs.packed
 
     sub_len = table.len_kb
@@ -193,12 +195,21 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
             == jnp.arange(r_max, dtype=jnp.int32)
 
         db_c = jnp.clip(db, 0, s_dim - 1)
-        w_start = sobs.row_start[db_c]
+        w_start = jnp.minimum(sobs.row_start[db_c], nnz)
         w_end = sobs.row_start[db_c + 1]
-        win = w_start[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
-        win_valid = (win < w_end[:, None]) & (sub_valid & first)[:, None]
-        win = jnp.clip(win, 0, nnz - 1)
-        pk = packed[win]                                       # (R, cap, 2)
+        # wide window fetch: one fast-path gather row per 8 entries (see
+        # core/delta.py window_cols_vals; entries are lane-shifted by
+        # w_start % 8, which every consumer below ignores)
+        base = w_start >> 3
+        rows_w = base[:, None] + jnp.arange(n_ch, dtype=jnp.int32)
+        pk = packed[rows_w.reshape(-1)].reshape((r_max, n_ch, 8, 2))
+        g = rows_w[:, :, None] * 8 \
+            + jnp.arange(8, dtype=jnp.int32)[None, None, :]
+        win_valid = ((g >= w_start[:, None, None])
+                     & (g < w_end[:, None, None])
+                     & (sub_valid & first)[:, None, None]
+                     ).reshape((r_max, cap))
+        pk = pk.reshape((r_max, cap, 2))
         t_bin = pk[..., 0]
         ob = jax.lax.bitcast_convert_type(pk[..., 1], jnp.float32)
         t_in_d = inv_db[jnp.clip(t_bin, 0, s_dim - 1)] >= 0

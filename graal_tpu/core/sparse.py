@@ -54,13 +54,23 @@ class SparseObs(NamedTuple):
     row_cap: int            # max entries of any row (static gather window)
     n: int                  # K data subs
     logfact_const: float    # -sum_{s<t} log(ob!)  (reference branch structure)
-    # (col, bitcast(val)) int32 pairs so ONE gather fetches both lanes of a
-    # CSR window entry. Built ONCE here and shared by every compiled delta
-    # bucket — per-bucket construction re-captured ~8 bytes/nnz per
-    # executable (3.2 GB at 500k-fragment full coverage). INT32 pack with
-    # the float lane bitcast INTO it, never int indices into f32: TPU fused
-    # gathers canonicalise denormal/NaN float patterns (core/delta.py).
-    packed: jnp.ndarray     # (nnz_sym, 2) int32
+    # WIDE window storage: (col, bitcast(val)) int32 pairs, 8 CSR entries
+    # per storage row, so ONE fast-path gather row fetches 8 window
+    # entries. Entry e lives at packed[e // 8, 2*(e % 8) : 2*(e % 8) + 2].
+    # Built ONCE here and shared by every compiled delta bucket. INT32
+    # pack with the float lane bitcast INTO it, never int indices into
+    # f32: TPU fused gathers canonicalise denormal/NaN float patterns
+    # (core/delta.py). Why wide: XLA's fast (fusion) gather path only
+    # exists for single-operand-row slices — any slice_sizes[0] > 1
+    # lowers to a SERIAL while-loop of dynamic slices (measured 4.2x
+    # slower than even the flat per-entry gather), and the flat per-entry
+    # (1, 2) gather was itself the largest op of the chr1-scale step
+    # (device trace: 1.1 of 3.2 ms at 20k fragments). The window
+    # contractions never care about an entry's position inside the
+    # window, so the 8-entry alignment slack costs nothing. Trailing
+    # sentinel padding (col -3, val 0; >= row_cap + 16 entries) keeps
+    # every window read in bounds without clamping.
+    packed: jnp.ndarray     # (ceil((nnz_sym+row_cap+16)/8), 16) int32
 
 
 def _logfact_const(vals_upper: np.ndarray) -> float:
@@ -102,17 +112,23 @@ def sparse_from_coo(rows, cols, vals, n: int) -> SparseObs:
     coo = sym.tocoo()
     cols_j = jnp.asarray(coo.col, jnp.int32)
     vals_j = jnp.asarray(coo.data, jnp.float32)
+    row_cap = int(counts.max()) if len(counts) else 1
+    nnz = int(coo.row.shape[0])
+    e_pad = (nnz + row_cap + 16 + 7) // 8 * 8
+    flat = np.empty((e_pad, 2), np.int32)
+    flat[:nnz, 0] = coo.col
+    flat[:nnz, 1] = np.asarray(coo.data, np.float32).view(np.int32)
+    flat[nnz:, 0] = -3
+    flat[nnz:, 1] = 0
     return SparseObs(
         rows=jnp.asarray(coo.row, jnp.int32),
         cols=cols_j,
         vals=vals_j,
         row_start=jnp.asarray(sym.indptr, jnp.int32),
-        row_cap=int(counts.max()) if len(counts) else 1,
+        row_cap=row_cap,
         n=n,
         logfact_const=_logfact_const(sp.triu(sym, k=1).tocoo().data),
-        packed=jnp.stack(
-            [cols_j, jax.lax.bitcast_convert_type(vals_j, jnp.int32)],
-            axis=1))
+        packed=jnp.asarray(flat.reshape(-1, 16)))
 
 
 def subsample_sparse(sobs: SparseObs, fact: float, seed: int = 0) -> SparseObs:

@@ -334,6 +334,147 @@ def make_pallas_scorer(table: SubFragTable, obs, interpret: bool = False):
 
 
 # ---------------------------------------------------------------------------
+# Mini-grid candidate scorer: the delta path's per-candidate pair grids
+# ---------------------------------------------------------------------------
+
+def _mini_kernel(ti_ref, tj_ref, mid_r, mid_c, idc_r, idc_c, circ_r, stot_r,
+                 la_r, la_c, obs_tile, p_ref, out_ref, *, k_real, cb,
+                 with_circ):
+    """One (TB x TB) tile of ``cb`` candidates' MINI pair grids (shares
+    _tile_body with the dense scorer). Differences from _ll_kernel: the
+    observed tile is a traced per-neighbour operand (no static affine
+    trans shortcut — mini grids hold exactly the two affected contigs, so
+    nearly every tile has same-contig pairs anyway), and the circular
+    specialisation is a Python flag (core.delta hoists the circ/linear
+    decision above the neighbour batch)."""
+    t = pl.program_id(0)
+    g = pl.program_id(1)
+    i = ti_ref[t]
+    j = tj_ref[t]
+    for k in range(cb):
+        c = g * cb + k
+
+        @pl.when(t == 0)
+        def _init(c=c):
+            out_ref[0, c] = 0.0
+
+        if with_circ:
+            any_circ = jnp.any(circ_r[c, :] > 0.0)
+
+            @pl.when(any_circ)
+            def _fc(c=c):
+                _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r,
+                           la_r, la_c, obs_tile, p_ref, out_ref, c, i, j,
+                           k_real, with_circ=True)
+
+            @pl.when(jnp.logical_not(any_circ))
+            def _fl(c=c):
+                _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r,
+                           la_r, la_c, obs_tile, p_ref, out_ref, c, i, j,
+                           k_real, with_circ=False)
+        else:
+            _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r,
+                       la_r, la_c, obs_tile, p_ref, out_ref, c, i, j,
+                       k_real, with_circ=False)
+
+
+def make_mini_grid_scorer(r_max: int, log_nfpb: float,
+                          with_circ: bool = True, interpret: bool = False):
+    """Build the fused mini-pair-grid candidate scorer for the delta path:
+
+        score(mid, idc, circ, stot, la, ob, params) -> (B,)
+        score[c] = sum_{u < v} [ ob[u,v] * log_e - e ]            with
+        log_e = where(same contig, log_cis, log v_inter) + la_u + la_v
+                - log_nfpb,   e = exp(log_e)
+
+    mid/idc/circ/stot/la are (B, R) per-candidate sub-row vectors
+    (la = log(accu) with -1e9 on invalid/inactive rows), ob the
+    (R, R) strict-upper observed grid of this neighbour's D rows.
+
+    Why a kernel: the jnp formulation of core.delta.grid_terms shares a
+    log_cis grid between the observed term and the expected mass, which
+    XLA materialises to HBM per candidate (an (R, R) f32 round-trip, 14
+    candidates x 5 neighbours per step); the fused tile loop keeps every
+    intermediate in VMEM and halves the cell work by enumerating only
+    upper-triangle tiles. Exact same per-cell math as _tile_body (the
+    dense scorer), so the delta inherits the dense kernel's verified
+    f32 semantics. vmap-compatible over the neighbour axis.
+    """
+    r_pad = _round_up(max(r_max, TB), TB)
+    n_rb = r_pad // TB
+    tri = [(i, j) for i in range(n_rb) for j in range(i, n_rb)]
+    ti_np = np.asarray([i for i, _ in tri], np.int32)
+    tj_np = np.asarray([j for _, j in tri], np.int32)
+    n_tri = len(tri)
+
+    def params_vec(p: RippeParams):
+        log_c1fact = jnp.log(p.c1 * p.fact)
+        log_k3fact = jnp.log(jnp.power(p.kuhn, -3.0) * p.fact)
+        nmax = p.lm / p.kuhn
+        log_norm_circ = (log_k3fact + p.slope * jnp.log(nmax)
+                         + (p.d - 2.0) / (nmax * nmax + p.d))
+        return jnp.stack([
+            log_c1fact, p.slope, p.d, p.d_max, p.lm / p.kuhn,
+            jnp.log(p.v_inter), p.v_inter, log_norm_circ, log_k3fact,
+            jnp.float32(log_nfpb)]).astype(jnp.float32)
+
+    def row_map(t, c, ti, tj):
+        return (0, ti[t])
+
+    def col_map(t, c, ti, tj):
+        return (0, tj[t])
+
+    def obs_map(t, c, ti, tj):
+        return (ti[t], tj[t])
+
+    def grid_sp(b, cb):
+        return pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(n_tri, b // cb),
+            in_specs=[
+                pl.BlockSpec((b, TB), row_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, TB), col_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, TB), row_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, TB), col_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, TB), row_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, TB), row_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, TB), row_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((b, TB), col_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((TB, TB), obs_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_specs=pl.BlockSpec(memory_space=pltpu.SMEM),
+        )
+
+    def score(mid, idc, circ, stot, la, ob, params: RippeParams):
+        b = mid.shape[0]
+        cb = max(d for d in range(1, min(b, 16) + 1) if b % d == 0)
+        padw = r_pad - r_max
+
+        def pad2(x, fill=0.0):
+            return jnp.pad(x, ((0, 0), (0, padw)), constant_values=fill)
+
+        midp = pad2(mid.astype(jnp.float32))
+        idcp = pad2(idc.astype(jnp.int32), 0)
+        circp = pad2(circ.astype(jnp.float32))
+        stotp = pad2(stot.astype(jnp.float32), 1.0)
+        lap = pad2(la.astype(jnp.float32), -1e9)
+        obp = jnp.pad(ob.astype(jnp.float32), ((0, padw), (0, padw)))
+        out = pl.pallas_call(
+            functools.partial(_mini_kernel, k_real=r_max, cb=cb,
+                              with_circ=with_circ),
+            grid_spec=grid_sp(b, cb),
+            out_shape=jax.ShapeDtypeStruct((1, b), jnp.float32),
+            interpret=interpret,
+        )(jnp.asarray(ti_np), jnp.asarray(tj_np),
+          midp, midp, idcp, idcp, circp, stotp, lap, lap, obp,
+          params_vec(params))
+        return out[0]
+
+    return score
+
+
+# ---------------------------------------------------------------------------
 # Repeat-carrying geometry: copy-summing kernel on the data grid
 # ---------------------------------------------------------------------------
 

@@ -148,7 +148,15 @@ class ScaleRunner:
                 def scalar_anchor(state, params, _b=batched):
                     sb = jax.tree.map(lambda x: jnp.asarray(x)[None], state)
                     pb = jax.tree.map(lambda x: jnp.asarray(x)[None], params)
-                    return _b(GenomeState(*sb), RippeParams(*pb))[0]
+                    out = _b(GenomeState(*sb), RippeParams(*pb))[0]
+                    # Strip the mesh commitment before the scalar leaves:
+                    # a NamedSharding-committed operand makes every
+                    # downstream jit compile REPLICATED over the whole
+                    # mesh — on the 8-virtual-device CPU test rig the
+                    # delta cycle's memory multiplied ~8x (measured
+                    # 4.8 -> 34 GB for one bucket; the 100k test peaked
+                    # >100 GB and OOM-killed full-suite runs).
+                    return jnp.float32(jax.device_get(out))
 
                 self._anchor = scalar_anchor
             else:

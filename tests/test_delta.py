@@ -273,3 +273,36 @@ def test_banded_esum_offset_chunking(problem):
                                   params, max_id)[0])
         np.testing.assert_allclose(dll_b, dll_g, rtol=1e-3, atol=0.05,
                                    err_msg=f"trial {trial}")
+
+
+def test_extract_rows_union_matches_per_neighbour(problem):
+    """extract_rows_union must produce the same member sets (and exact
+    overflow flags) as per-neighbour extract_rows."""
+    state, table, params, obs = problem
+    key = jax.random.key(3)
+    st = state
+    for trial in range(3):
+        key, k1, k2 = jax.random.split(key, 3)
+        # random mutation walk to diversify contig structure
+        f = int(jax.random.randint(k1, (), 0, st.n_frags))
+        g = int(jax.random.randint(k2, (), 0, st.n_frags))
+        st = mcmc.apply_mutation(st, f, g, 4)
+        check_invariants(st)
+        f_a = int(jax.random.randint(k1, (), 0, st.n_frags))
+        ids = jax.random.randint(k2, (5,), 0, st.n_frags).astype(jnp.int32)
+        for f_max in (4, 8, 16, 36):
+            rows_b, valid_b, over_b = jax.jit(
+                delta.extract_rows_union, static_argnums=3)(
+                st, f_a, ids, f_max)
+            for i in range(5):
+                rows, valid, over = jax.jit(
+                    delta.extract_rows, static_argnums=3)(
+                    st, f_a, ids[i], f_max)
+                got = set(np.asarray(rows_b[i])[np.asarray(valid_b[i])])
+                want = set(np.asarray(rows)[np.asarray(valid)])
+                if not bool(over):
+                    assert got == want, (trial, f_max, i)
+                    # ascending member prefix, like extract_rows
+                    gr = np.asarray(rows_b[i])[np.asarray(valid_b[i])]
+                    assert np.all(np.diff(gr) > 0)
+                assert bool(over_b[i]) == bool(over), (trial, f_max, i)
