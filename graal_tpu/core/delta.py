@@ -133,19 +133,24 @@ def extract_rows_union(state: GenomeState, f_a, ids, f_max: int):
 
     Returns (rows (m, f_max), valid (m, f_max), overflow (m,)) with
     identical member sets/order as extract_rows; padding entries differ
-    (inert either way). Overflow is computed exactly from l_cont.
+    (inert either way). Overflow is derived from *counted* membership, not
+    from l_cont — if l_cont ever drifted from the true member count, the
+    truncated union would be flagged as overflow (excluded from selection)
+    instead of silently scoring a partial member set.
     """
     n = state.n_frags
     m = ids.shape[0]
     u_cap = min(n, (m + 1) * f_max)
     c_a = state.id_c[f_a]
-    l_a = state.l_cont[f_a]
     c_bs = state.id_c[ids]                                  # (m,)
-    l_bs = state.l_cont[ids]
-    inc_a = l_a <= f_max
-    inc_b = l_bs <= f_max
-    memb_b = (state.id_c[:, None] == c_bs[None, :]) & inc_b[None, :]
-    member_u = ((state.id_c == c_a) & inc_a) | jnp.any(memb_b, axis=1)
+    memb_a = state.id_c == c_a                              # (n,)
+    raw_memb_b = state.id_c[:, None] == c_bs[None, :]       # (n, m)
+    cnt_a = jnp.sum(memb_a)
+    cnt_b = jnp.sum(raw_memb_b, axis=0)                     # (m,)
+    inc_a = cnt_a <= f_max
+    inc_b = cnt_b <= f_max
+    memb_b = raw_memb_b & inc_b[None, :]
+    member_u = (memb_a & inc_a) | jnp.any(memb_b, axis=1)
     idx = jnp.arange(n, dtype=jnp.int32)
     key_u = jnp.where(member_u, 2 * n - idx, -idx - 1)
     _, rows_u = jax.lax.top_k(key_u, u_cap)                 # ascending members
@@ -154,8 +159,8 @@ def extract_rows_union(state: GenomeState, f_a, ids, f_max: int):
     idc_u = jnp.where(valid_u, state.id_c[rows_u], -1)
     uidx = jnp.arange(u_cap, dtype=jnp.int32)
 
-    overflow = jnp.where(c_bs == c_a, l_a,
-                         l_a + l_bs) > f_max                # (m,)
+    overflow = jnp.where(c_bs == c_a, cnt_a,
+                         cnt_a + cnt_b) > f_max             # (m,)
 
     def one(c_b):
         memb = (idc_u == c_a) | (idc_u == c_b)
@@ -272,8 +277,7 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
                       catalogue=None, obs_impl: str = "auto",
                       grid_impl: str = "auto",
                       _ablate: str | None = None,
-                      _off_chunk: int | None = None,
-                      _window_fetch: str = "wide"):
+                      _off_chunk: int | None = None):
     """Build the per-neighbour delta scorer.
 
     Returns ``dscore(state, f_a, f_b, params, max_id) ->
@@ -465,7 +469,8 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
         # (observed: window columns silently became the row's own key,
         # zeroing the whole obs term; f32 counts round-trip through int32
         # losslessly).
-        packed = sobs.packed                                   # (nnz, 2)
+        packed = sobs.packed   # WIDE storage (ceil((nnz+row_cap+16)/8), 16):
+        # 8 (col, bitcast val) int32 pairs per storage row (core/sparse.py)
 
         n_ch = (cap + 14) // 8   # 8-entry storage rows covering any window
 
@@ -481,33 +486,25 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
             trace: 1.1 of 3.2 ms at 20k fragments; ~17.8 of 28 ms
             scoring at 500k). A window's entries land lane-shifted by
             (start % 8), which no consumer cares about: the obs-grid
-            contraction is position-agnostic. ('flat' per-entry fetch
-            kept for the A/B harness, benchmarks/bisect_delta.py.)
+            contraction is position-agnostic.
             """
             rc = jnp.clip(subs, 0, k_subs - 1)
             start = jnp.minimum(sobs.row_start[rc], nnz)
             end = sobs.row_start[rc + 1]
-            if _window_fetch == "wide":
-                base = start >> 3                              # (R,)
-                rows_w = base[:, None] + jnp.arange(n_ch, dtype=jnp.int32)
-                pk = packed[rows_w.reshape(-1)].reshape(
-                    (-1, n_ch, 8, 2))                          # (R,n_ch,8,2)
-                g = rows_w[:, :, None] * 8 \
-                    + jnp.arange(8, dtype=jnp.int32)[None, None, :]
-                win_valid = (g >= start[:, None, None]) \
-                    & (g < end[:, None, None]) \
-                    & sub_valid[:, None, None]
-                cols = pk[..., 0].reshape((-1, n_ch * 8))
-                vals = jnp.where(
-                    win_valid,
-                    jax.lax.bitcast_convert_type(pk[..., 1], jnp.float32),
-                    0.0).reshape((-1, n_ch * 8))
-                return cols, vals
-            win = start[:, None] + jnp.arange(cap, dtype=jnp.int32)[None, :]
-            win_valid = (win < end[:, None]) & sub_valid[:, None]
-            win = jnp.clip(win, 0, nnz - 1)
-            cols = jnp.where(win_valid, sobs.cols[win], -1)
-            vals = jnp.where(win_valid, sobs.vals[win], 0.0)
+            base = start >> 3                                  # (R,)
+            rows_w = base[:, None] + jnp.arange(n_ch, dtype=jnp.int32)
+            pk = packed[rows_w.reshape(-1)].reshape(
+                (-1, n_ch, 8, 2))                              # (R,n_ch,8,2)
+            g = rows_w[:, :, None] * 8 \
+                + jnp.arange(8, dtype=jnp.int32)[None, None, :]
+            win_valid = (g >= start[:, None, None]) \
+                & (g < end[:, None, None]) \
+                & sub_valid[:, None, None]
+            cols = pk[..., 0].reshape((-1, n_ch * 8))
+            vals = jnp.where(
+                win_valid,
+                jax.lax.bitcast_convert_type(pk[..., 1], jnp.float32),
+                0.0).reshape((-1, n_ch * 8))
             return cols, vals
 
         # membership IS the one-hot: compare window columns directly
@@ -536,7 +533,7 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
             use_kernel = obs_impl == "pallas"
         if use_kernel:
             from graal_tpu.ops.obsgrid_pallas import make_window_obs_grid
-            capw = n_ch * 8 if _window_fetch == "wide" else cap
+            capw = n_ch * 8
             window_grid = make_window_obs_grid(r_max, capw)
 
             def obs_grid(subs, sub_valid):
@@ -645,6 +642,15 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
                 mini, cands)
             geo = jax.vmap(
                 lambda st: geometry(st, subs_c, sub_valid, owner_slot))(full)
+            # zero ob at inactive rows/cols: the kernel masks the EXPECTED
+            # side via la=-1e9, but an unmasked ob at a valid-but-inactive
+            # row would add ob*(-1e9) to every score and the base-candidate
+            # difference would lose all precision to f32 cancellation.
+            # Base activity (geo["act"][0]) is the right mask: this scorer
+            # is repeat-free (swap_activity is a no-op at rep==0), so act
+            # is identical across base + 13 candidates.
+            act0 = geo["act"][0]
+            ob = jnp.where(act0[:, None] & act0[None, :], ob, 0.0)
             la = jnp.where(geo["act"], log_accu[None, :], -1e9)
             scores = mini_scorers[with_circ](
                 geo["mid"], geo["idc"], geo["circ"].astype(jnp.float32),

@@ -404,25 +404,6 @@ def make_sharded_sparse_anchor(mesh: Mesh, table: SubFragTable, sobs,
     return fn
 
 
-def make_chain_exchange(mesh: Mesh):
-    """Best-genome exchange across chains: all-gather per-chain likelihoods,
-    broadcast the argmax genome to every chain (the periodic exchange of the
-    parallel-tempering design; no reference equivalent)."""
-
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(P("chains"), P("chains")),
-        out_specs=(P("chains"), P("chains")), check_vma=False)
-    def exchange(states, lls):
-        all_ll = jax.lax.all_gather(lls, "chains", tiled=True)
-        best = jnp.argmax(all_ll)
-        all_states = jax.tree.map(
-            lambda x: jax.lax.all_gather(x, "chains", tiled=True), states)
-        best_state = jax.tree.map(lambda x: x[best], all_states)
-        n_local = lls.shape[0]
-        out = jax.tree.map(
-            lambda x, b: jnp.broadcast_to(b, (n_local,) + b.shape), states,
-            best_state)
-        return out, jnp.broadcast_to(all_ll[best], (n_local,))
-
-    return jax.jit(exchange)
+# NOTE: the former make_chain_exchange (broadcast-best across chains) was
+# retired in round 5 — parallel.tempering.pt_swap is the one production
+# exchange; parallel.tempering.exchange_best covers final consolidation.

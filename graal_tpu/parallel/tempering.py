@@ -78,8 +78,8 @@ def make_tempered_cycle(table: SubFragTable, obs, nb, delta: int,
 
 def exchange_best(states: GenomeState, l_ts):
     """Broadcast the best chain's genome to all chains — the final
-    consolidation step only (the mesh flavour is
-    parallel.sharding.make_chain_exchange)."""
+    consolidation step only (never the mid-run exchange: that is
+    :func:`pt_swap`, which preserves the tempered ensemble)."""
     best = jnp.argmax(l_ts)
     n = l_ts.shape[0]
     best_state = jax.tree.map(lambda x: x[best], states)

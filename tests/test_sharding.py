@@ -10,7 +10,7 @@ from graal_tpu.core.model import RippeParams
 from graal_tpu.core.state import GenomeState, check_invariants
 from graal_tpu.core.subfrags import trivial_table
 from graal_tpu.parallel import (make_mesh, sharded_log_likelihood,
-                                make_sharded_em_step, make_chain_exchange)
+                                make_sharded_em_step)
 from tests.test_mcmc import make_problem, true_genome
 
 
@@ -68,29 +68,6 @@ def test_sharded_em_step_runs_and_improves(problem):
     ll0 = float(likelihood.log_likelihood(
         GenomeState(*[x[0] for x in new_states]), table, obs, params))
     np.testing.assert_allclose(ll0, float(scores[0]), rtol=1e-4)
-
-
-def test_chain_exchange_broadcasts_best(problem):
-    state, table, params, obs = problem
-    mesh = make_mesh(n_chains=8, n_rows=1)
-    exchange = make_chain_exchange(mesh)
-    scrambled = mcmc.explode_genome(state)
-    # chain 3 holds the true genome, others scrambled
-    states = GenomeState(*[
-        jnp.stack([np.asarray(t) if c == 3 else np.asarray(s)
-                   for c in range(8)])
-        for t, s in zip(state, scrambled)])
-    lls = jnp.asarray([likelihood.log_likelihood(
-        GenomeState(*[x[c] for x in states]), table, obs, params)
-        for c in range(8)])
-    assert int(jnp.argmax(lls)) == 3
-    out_states, out_ll = exchange(states, lls)
-    np.testing.assert_allclose(np.asarray(out_ll), float(lls[3]), rtol=1e-6)
-    for c in range(8):
-        for f, x in zip(state._fields, out_states):
-            np.testing.assert_array_equal(
-                np.asarray(x[c]), np.asarray(getattr(state, f)),
-                err_msg=f"chain {c} field {f}")
 
 
 def test_sharded_likelihood_with_repeats():
