@@ -854,15 +854,28 @@ def make_delta_em_cycle(table: SubFragTable, obs, nb, delta: int, f_max: int,
 
     @jax.jit
     def cycle(state: GenomeState, key, params: RippeParams, frag_order, l_t, f_t):
+        # Compensated (Kahan) carry: l_t is only ever ADDED to inside the
+        # step (the selection filter is shift-invariant), so the step runs
+        # with l_t=0 and returns the raw increment d_sel, accumulated here
+        # in a two-f32 compensated sum. A plain f32 carry quantises every
+        # add to the ulp of |L| (0.25 at the 20k-bin chr1 config, |L|~3e6)
+        # — measured as a random-walk drift of ~33 over a 256-step chunk
+        # vs the re-anchor (benchmarks/bisect_repeat_drift.py: per-step
+        # errors were exact ulp multiples, signed sum ~0).
         def body(carry, f_a):
-            state, key, l_t = carry
+            state, key, l_hi, l_c = carry
             key, sub = jax.random.split(key)
-            state, l_t, (op, fb, n_over) = step(state, sub, params, l_t, f_a, f_t)
-            return (state, key, l_t), (l_t, op, fb, n_over,
-                                       state.n_contigs())
+            state, d_sel, (op, fb, n_over) = step(state, sub, params,
+                                                  jnp.float32(0.0), f_a, f_t)
+            y = d_sel - l_c
+            t = l_hi + y
+            l_c = (t - l_hi) - y
+            l_hi = t
+            return (state, key, l_hi, l_c), (l_hi, op, fb, n_over,
+                                             state.n_contigs())
 
-        (state, key, l_t), (lls, ops_, fbs, overs, ncs) = jax.lax.scan(
-            body, (state, key, l_t), frag_order)
+        (state, key, l_t, _), (lls, ops_, fbs, overs, ncs) = jax.lax.scan(
+            body, (state, key, l_t, jnp.float32(0.0)), frag_order)
         l_anchor = l_t if skip_anchor else anchor_fn(state, params)
         return state, l_anchor, (lls, ops_, fbs, overs, ncs)
 

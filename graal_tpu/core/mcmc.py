@@ -294,31 +294,18 @@ def solve_d_max(params: RippeParams, v_inter, lo=1e-2, hi=1e6, passes=5,
     return jnp.exp((llo + lhi) * 0.5)
 
 
-def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32,
-                       scorer=None, d_max_cap: float | None = None):
-    """Jitted nuisance-parameter Metropolis step
-    (step_nuisance_parameters, cuda_lib_gl.py:2022-2107).
+def make_nuisance_proposer(d_max_cap: float | None = None):
+    """Parameter-proposal half of the nuisance Metropolis step, split out
+    so multi-chain callers can evaluate the ONE heavy piece — the
+    test-parameter likelihood — through a chain-batched (sharded) anchor:
+    vmap this proposer and :func:`nuisance_accept` (both trivial), call
+    the batched scorer once in between (ScaleRunner.run_chains).
 
-    One of {fact, slope, d_max, v_inter} is perturbed with a Gaussian of the
-    reference's per-parameter sigma; dependent parameters (c1, d_max or
-    v_inter) are re-derived; accepted with probability
-    exp((L* - L_t) / F_t).
-
-    ``scorer``: optional batched likelihood fn (e.g. the Pallas kernel or a
-    sparse evaluation) used for the test-parameter evaluation, so the
-    nuisance path shares the EM step's fast scorer instead of falling back
-    to the jnp likelihood. With a scorer, ``obs`` may be None (chr1 scale:
-    no dense matrix exists).
-
-    ``d_max_cap``: reject any proposal whose (possibly re-derived) d_max
-    exceeds this value. REQUIRED with banded sparse scorers: their cis
-    correction only covers pairs within the band width chosen at build
-    time (ScaleRunner.max_covered_d_max) — beyond it the evaluation
-    silently undercounts cis mass, so such proposals must never enter
-    the Metropolis test at all.
+    Returns ``propose(key, params) -> (test_params, in_support, k_u)``.
+    The key schedule is identical to :func:`make_nuisance_step` (one
+    3-way split; ``k_u`` is the acceptance key), so composing the halves
+    reproduces the monolithic step bit-exactly.
     """
-    if obs is not None:
-        obs = jnp.asarray(obs, jnp.float32)
     sigma_slope = 0.05
     sigma_d_max = 100.0
     sigma_d_nuc = 0.5
@@ -337,7 +324,7 @@ def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32,
               * jnp.power(p.kuhn, -3.0))
         return p._replace(c1=c1.astype(jnp.float32))
 
-    def step(state: GenomeState, key, params: RippeParams, l_t, f_t):
+    def propose(key, params: RippeParams):
         k_mod, k_eps, k_u = jax.random.split(key, 3)
         id_modif = jax.random.randint(k_mod, (), 0, 4)
         eps = jax.random.normal(k_eps, ())
@@ -368,23 +355,64 @@ def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32,
 
         test_params, in_support = jax.lax.switch(
             id_modif, [mod_fact, mod_slope, mod_d_max, mod_d_nuc], params)
-        test_params = RippeParams(*[x.astype(jnp.float32) for x in test_params])
+        test_params = RippeParams(*[x.astype(jnp.float32)
+                                    for x in test_params])
         if d_max_cap is not None:
             # every modifier can move d_max (directly or via solve_d_max)
             in_support = in_support & (test_params.d_max <= d_max_cap)
+        return test_params, in_support, k_u
 
+    return propose
+
+
+def nuisance_accept(k_u, test_params: RippeParams, params: RippeParams,
+                    l_star, l_t, f_t, in_support):
+    """Metropolis accept/reject half of the nuisance step (vmappable)."""
+    ratio = jnp.exp((l_star.astype(jnp.float32) - l_t) / f_t)
+    accept = in_support & (ratio >= jax.random.uniform(k_u, ()))
+    out = RippeParams(*[jnp.where(accept, a, b)
+                        for a, b in zip(test_params, params)])
+    l_out = jnp.where(accept, l_star.astype(jnp.float32), l_t)
+    return out, l_out, accept
+
+
+def make_nuisance_step(table: SubFragTable, obs, ll_dtype=jnp.float32,
+                       scorer=None, d_max_cap: float | None = None):
+    """Jitted nuisance-parameter Metropolis step
+    (step_nuisance_parameters, cuda_lib_gl.py:2022-2107).
+
+    One of {fact, slope, d_max, v_inter} is perturbed with a Gaussian of the
+    reference's per-parameter sigma; dependent parameters (c1, d_max or
+    v_inter) are re-derived; accepted with probability
+    exp((L* - L_t) / F_t).
+
+    ``scorer``: optional batched likelihood fn (e.g. the Pallas kernel or a
+    sparse evaluation) used for the test-parameter evaluation, so the
+    nuisance path shares the EM step's fast scorer instead of falling back
+    to the jnp likelihood. With a scorer, ``obs`` may be None (chr1 scale:
+    no dense matrix exists).
+
+    ``d_max_cap``: reject any proposal whose (possibly re-derived) d_max
+    exceeds this value. REQUIRED with banded sparse scorers: their cis
+    correction only covers pairs within the band width chosen at build
+    time (ScaleRunner.max_covered_d_max) — beyond it the evaluation
+    silently undercounts cis mass, so such proposals must never enter
+    the Metropolis test at all.
+    """
+    if obs is not None:
+        obs = jnp.asarray(obs, jnp.float32)
+    propose = make_nuisance_proposer(d_max_cap=d_max_cap)
+
+    def step(state: GenomeState, key, params: RippeParams, l_t, f_t):
+        test_params, in_support, k_u = propose(key, params)
         if scorer is not None:
             l_star = scorer(jax.tree.map(lambda x: x[None], state),
                             test_params)[0]
         else:
             l_star = log_likelihood(state, table, obs, test_params,
                                     dtype=ll_dtype)
-        ratio = jnp.exp((l_star.astype(jnp.float32) - l_t) / f_t)
-        accept = in_support & (ratio >= jax.random.uniform(k_u, ()))
-        out = RippeParams(*[jnp.where(accept, a, b)
-                            for a, b in zip(test_params, params)])
-        l_out = jnp.where(accept, l_star.astype(jnp.float32), l_t)
-        return out, l_out, accept
+        return nuisance_accept(k_u, test_params, params, l_star, l_t, f_t,
+                               in_support)
 
     return step
 

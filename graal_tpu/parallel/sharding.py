@@ -261,13 +261,20 @@ def make_sharded_delta_cycle(mesh: Mesh, table: SubFragTable, nb,
                                         sobs=sobs, band_w=band_w)
 
     def one_chain(state, key, params, order, l_t, f_t):
+        # compensated carry — same rationale as delta.make_delta_em_cycle
         def body(carry, f_a):
-            state, key, l_t = carry
+            state, key, l_hi, l_c = carry
             key, sub = jax.random.split(key)
-            state, l_t, _ = step(state, sub, params, l_t, f_a, f_t)
-            return (state, key, l_t), None
+            state, d_sel, _ = step(state, sub, params, jnp.float32(0.0),
+                                   f_a, f_t)
+            y = d_sel - l_c
+            t = l_hi + y
+            l_c = (t - l_hi) - y
+            l_hi = t
+            return (state, key, l_hi, l_c), None
 
-        (state, key, l_t), _ = jax.lax.scan(body, (state, key, l_t), order)
+        (state, key, l_t, _), _ = jax.lax.scan(
+            body, (state, key, l_t, jnp.float32(0.0)), order)
         return state, l_t
 
     p_ax = 0 if per_chain_params else None

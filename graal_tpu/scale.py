@@ -173,9 +173,33 @@ class ScaleRunner:
         return self._local_anchor
 
     def scorer(self):
-        """Batched sparse full-likelihood scorer (nuisance sampling)."""
-        import jax
+        """Batched sparse full-likelihood scorer (nuisance sampling).
 
+        With a multi-device host (and a repeat-free table) the evaluation
+        is routed through the rows-sharded psum anchor
+        (parallel.sharding.make_sharded_sparse_anchor) — without this,
+        each per-cycle nuisance proposal at 500k fragments paid a full
+        serial O(nnz + K*w) evaluation replicated on one device while the
+        sharded anchor sat one call away (round-4 review)."""
+        import jax
+        import jax.numpy as jnp
+
+        n_dev = len(jax.devices())
+        if n_dev > 1 and not self.table.has_repeats:
+            from graal_tpu.parallel.sharding import (
+                make_mesh, make_sharded_sparse_anchor)
+
+            batched = make_sharded_sparse_anchor(
+                make_mesh(n_chains=1, n_rows=n_dev), self.table, self.sobs,
+                self.w)
+
+            def scorer_fn(sb, p, _b=batched):
+                m = jax.tree.leaves(sb)[0].shape[0]
+                pb = RippeParams(*[jnp.broadcast_to(jnp.asarray(x), (m,))
+                                   for x in p])
+                return _b(sb, pb)
+
+            return scorer_fn
         anchor = sparse.make_sparse_loglik(self.table, self.sobs, self.w)
         return lambda sb, p: jax.vmap(lambda s: anchor(s, p))(sb)
 
@@ -395,6 +419,12 @@ class ScaleRunner:
             if sample_param:
                 params, l_t, _ = self.nuisance_step()(
                     state, k_nuis, params, l_t, jnp.float32(f_t))
+                # strip any mesh commitment from the (sharded) nuisance
+                # scorer's outputs before they re-enter the delta cycles —
+                # same poison the anchor guards against (anchor_fn)
+                params = RippeParams(*[jnp.asarray(jax.device_get(x))
+                                       for x in params])
+                l_t = jnp.float32(jax.device_get(l_t))
             l_t = jax.block_until_ready(l_t)
             cycle_s = time.time() - tc
             n_over = int(np.sum(np.asarray(overs)))
@@ -626,12 +656,21 @@ class ScaleRunner:
             anchor_c = jax.jit(jax.vmap(anchor))
         nuis_c = None
         if sample_param:
-            local = self.local_anchor_fn()
-            nuis = mcmc.make_nuisance_step(
-                self.table, None,
-                scorer=lambda sb, p: jax.vmap(lambda s: local(s, p))(sb),
-                d_max_cap=self.max_covered_d_max)
-            nuis_c = jax.jit(jax.vmap(nuis, in_axes=(0, 0, 0, 0, 0)))
+            # split nuisance step: the trivial propose/accept halves vmap
+            # over chains while the ONE heavy piece — the test-parameter
+            # likelihood — goes through the chain-batched anchor (sharded
+            # over the mesh when devices allow), instead of vmapping a
+            # per-chain single-device evaluation
+            propose_c = jax.jit(jax.vmap(
+                mcmc.make_nuisance_proposer(
+                    d_max_cap=self.max_covered_d_max)))
+            accept_c = jax.jit(jax.vmap(mcmc.nuisance_accept))
+
+            def nuis_c(states, keys, params_b, l_ts_b, ladder_b):
+                tp, ok, ku = propose_c(keys, params_b)
+                l_star = anchor_c(states, tp)
+                return accept_c(ku, tp, params_b, l_star, l_ts_b, ladder_b,
+                                ok)
         s_max = delta_mod.build_mini_table(self.table,
                                            allow_repeats=True).s_max
         key = jax.random.key(seed)

@@ -179,3 +179,34 @@ def test_nuisance_d_max_cap_rejects():
         p, l_t, accept = step(state, jax.random.key(i), p, l_t,
                               jnp.float32(1.0))
         assert float(p.d_max) <= cap + 1e-3
+
+
+def test_nuisance_split_matches_monolithic():
+    """make_nuisance_proposer + nuisance_accept composed around the same
+    scorer must reproduce make_nuisance_step bit-exactly (same key
+    schedule) — the split is what lets run_chains route the heavy
+    evaluation through the chain-batched sharded anchor."""
+    state, table, params, obs = make_problem()
+    mono = jax.jit(mcmc.make_nuisance_step(table, obs))
+    propose = mcmc.make_nuisance_proposer()
+
+    def split_step(state, key, p, l_t, f_t):
+        tp, ok, k_u = propose(key, p)
+        l_star = likelihood.log_likelihood(state, table, obs, tp)
+        return mcmc.nuisance_accept(k_u, tp, p, l_star, l_t, f_t, ok)
+
+    split = jax.jit(split_step)
+    l_t = jnp.float32(likelihood.log_likelihood(state, table, obs, params))
+    key = jax.random.key(11)
+    p_m = p_s = params
+    l_m = l_s = l_t
+    for _ in range(12):
+        key, sub = jax.random.split(key)
+        p_m, l_m, a_m = mono(state, sub, p_m, l_m, jnp.float32(1.0))
+        p_s, l_s, a_s = split(state, sub, p_s, l_s, jnp.float32(1.0))
+        assert bool(a_m) == bool(a_s)
+        np.testing.assert_array_equal(np.float32(l_m), np.float32(l_s))
+        for f in params._fields:
+            np.testing.assert_array_equal(
+                np.asarray(getattr(p_m, f)), np.asarray(getattr(p_s, f)),
+                err_msg=f)

@@ -375,3 +375,24 @@ def test_run_chains_checkpoint_resume_bitexact(tmp_path):
                                       err_msg=f"field {f}")
     assert res_ll == full_ll
     np.testing.assert_allclose(m_res["best"], m_full["best"])
+
+
+def test_scale_sharded_nuisance_scorer_agrees():
+    """On the 8-virtual-device rig ScaleRunner.scorer() routes through the
+    rows-sharded psum anchor; it must agree with the local vmapped sparse
+    evaluation (round-4 review item 7)."""
+    params = scale_params()
+    state, table = make_scale_genome(300, 3, seed=51)
+    sobs = simulate_sparse_contacts(state, table, params, seed=51)
+    runner = ScaleRunner(table, sobs, params)
+    assert len(jax.devices()) == 8
+    sharded = runner.scorer()
+    local_fn = jax.jit(sparse.make_sparse_loglik(table, sobs, runner.w))
+    shuf = shuffle_genome(state, 6, seed=52)
+    batch = jax.tree.map(
+        lambda a, b: jnp.stack([jnp.asarray(a), jnp.asarray(b)]),
+        state, shuf)
+    got = np.asarray(sharded(batch, params))
+    want = np.asarray([float(local_fn(state, params)),
+                       float(local_fn(shuf, params))])
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=0.5)
