@@ -136,14 +136,35 @@ def main():
     evals_per_step = 13 * (delta * nb.max_copies + nb.max_copies)
 
     results = {}
+    cycles = {}
     for sample_param in (True, False):
         cycle = mcmc.make_em_cycle(table, obs, nb, delta=delta,
                                    sample_param=sample_param, scorer=scorer)
-        wrapped = lambda st, k, p, o, l, t: cycle(st, k, p, o, l,
-                                                  jnp.float32(t))
+        wrapped = lambda st, k, p, o, l, t, _c=cycle: _c(st, k, p, o, l,
+                                                        jnp.float32(t))
+        cycles[sample_param] = wrapped
         results[sample_param] = time_config(
             wrapped, scrambled, l0, params, n_bins, evals_per_step, key,
             n_cycles=1 if on_cpu else 3, reps=1 if on_cpu else 3)
+
+    # Mid-assembly regime twin (round-4 review item 4): the scrambled
+    # start overweights the cheapest steps — the trans-affine tile
+    # shortcut makes fully-trans pair tiles ~free, and a scrambled
+    # genome is almost all trans. Advance the assembly several cycles
+    # (contigs coalesced, cis tiles dominant — the most expensive
+    # regime), then time the SAME shipped configuration from there.
+    cur, l_mid = scrambled, l0
+    k_mid = jax.random.key(7)
+    for _ in range(2 if on_cpu else 5):
+        k_mid, sub = jax.random.split(k_mid)
+        cur, _, l_mid, _ = cycles[True](
+            cur, sub, params, jax.random.permutation(sub, n_bins), l_mid,
+            1.0)
+    jax.block_until_ready(cur)
+    result_mid = time_config(
+        cycles[True], cur, l_mid, params, n_bins, evals_per_step,
+        jax.random.key(8), n_cycles=1 if on_cpu else 3,
+        reps=1 if on_cpu else 3)
 
     anchor, anchor_kind = load_anchor()
     out = {
@@ -154,6 +175,8 @@ def main():
         "vs_baseline": round(results[True] / anchor, 2),
         "value_no_nuisance": round(results[False], 1),
         "vs_baseline_no_nuisance": round(results[False] / anchor, 2),
+        "value_midassembly": round(result_mid, 1),
+        "vs_baseline_midassembly": round(result_mid / anchor, 2),
         "baseline_anchor": anchor,
         "baseline_kind": anchor_kind,
     }

@@ -276,9 +276,20 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
                       candidate_batch: str = "auto", band_w: int | None = None,
                       catalogue=None, obs_impl: str = "auto",
                       grid_impl: str = "auto",
+                      data_keys=None,
                       _ablate: str | None = None,
                       _off_chunk: int | None = None):
     """Build the per-neighbour delta scorer.
+
+    ``data_keys``: optional (n_subs,) int32 map — when set, the observed
+    CSR windows are fetched and membership-matched by ``data_keys[sub]``
+    instead of the sub row itself (``sobs`` is then indexed on the DATA
+    grid). This is how the repeat engine (core.delta_repeats) routes its
+    plain-semantics majority through this scorer: copy rows keyed by
+    their data bin. The caller owns the exactness contract — every
+    window entry's expectation must be a single in-D copy pair (i.e. the
+    sobs passed here must exclude entries touching any multi-copy bin);
+    build_mini_table is then entered with allow_repeats=True.
 
     Returns ``dscore(state, f_a, f_b, params, max_id) ->
     (dll (13,), mini_cands (13, f_max) GenomeState, rows, valid, overflow)``
@@ -331,11 +342,12 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
     """
     if catalogue is None:
         catalogue = build_candidates
-    mt = build_mini_table(table)
+    mt = build_mini_table(table, allow_repeats=data_keys is not None)
     f_max = min(f_max, mt.n_frags)   # top_k cannot exceed the genome
     s_max = mt.s_max
     r_max = f_max * s_max
     k_subs = table.n_subs
+    key_of = None if data_keys is None else jnp.asarray(data_keys, jnp.int32)
     use_window = sobs is not None
     if not use_window:
         obs_j = jnp.asarray(obs, jnp.float32)
@@ -489,6 +501,8 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
             contraction is position-agnostic.
             """
             rc = jnp.clip(subs, 0, k_subs - 1)
+            if key_of is not None:
+                rc = key_of[rc]                    # window rows: data grid
             start = jnp.minimum(sobs.row_start[rc], nnz)
             end = sobs.row_start[rc + 1]
             base = start >> 3                                  # (R,)
@@ -538,13 +552,17 @@ def make_delta_scorer(table: SubFragTable, obs, f_max: int, sobs=None,
 
             def obs_grid(subs, sub_valid):
                 cols, vals = window_cols_vals(subs, sub_valid)
-                key_j = jnp.where(sub_valid, subs, -1)
+                subs_k = subs if key_of is None \
+                    else key_of[jnp.clip(subs, 0, k_subs - 1)]
+                key_j = jnp.where(sub_valid, subs_k, -1)
                 ob = window_grid(cols, vals, key_j)
                 return jnp.where(strict_upper, ob, 0.0)
         else:
             def obs_grid(subs, sub_valid):
                 cols, vals = window_cols_vals(subs, sub_valid)
-                key_j = jnp.where(sub_valid, subs, -1)
+                subs_k = subs if key_of is None \
+                    else key_of[jnp.clip(subs, 0, k_subs - 1)]
+                key_j = jnp.where(sub_valid, subs_k, -1)
                 # key axis consumed in bounded chunks: a monolithic
                 # (R, capw, R) float one-hot is ~750 MB at R 1024 /
                 # capw 184 (and blew CPU test memory at 100k fragments);
@@ -728,7 +746,7 @@ def make_delta_em_step(table: SubFragTable, obs, nb, delta: int, f_max: int,
 
         sobs_eff = sobs if sobs is not None \
             else sparse_mod.sparse_from_dense(obs)
-        dscore = delta_repeats.make_repeat_delta_scorer(
+        dscore = delta_repeats.make_repeat_delta_scorer_v2(
             table, f_max, sobs_eff,
             candidate_batch="map" if candidate_batch == "map" else "vmap")
     else:

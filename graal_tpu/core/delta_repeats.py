@@ -385,3 +385,412 @@ def make_repeat_delta_scorer(table: SubFragTable, f_max: int, sobs,
 
     dscore.spec = dscore_spec
     return dscore
+
+
+# ============================================================================
+# v2: the hybrid decomposition — plain-path kernels for the repeat-free
+# majority, copy enumeration only where copies actually exist.
+# ============================================================================
+#
+# The v1 scorer above treats EVERY observed window entry through the
+# general copy-summing machinery: (R, cap, R) one-hot einsums for the
+# in-D block sums and (R, cap, c, c) frozen pair grids — none of which
+# can use the round-4 Pallas kernels, leaving the repeat path an order of
+# magnitude behind the plain path on chip (round-4 review item 2). v2
+# splits the observed pairs by whether an endpoint bin is MULTI-COPY:
+#
+# - (single, single) — the overwhelming majority at realistic repeat
+#   densities (a few % of bins are repeats): both bins have exactly one
+#   copy, so E_data(s, t) = E(u, v) with u, v the copies. If both copies
+#   are in D this is literally the plain scorer's semantics (copy rows
+#   keyed by their data bin); if one copy is frozen the pair is trans in
+#   base AND candidate with unchanged activity (single-copy rows are
+#   never rep-flagged, so swap_activity cannot touch them) — it cancels
+#   in the delta exactly as the plain scorer's dropped non-member
+#   columns. These entries route through core.delta.make_delta_scorer
+#   (data_keys=...) — obs-grid Pallas kernel, mini-grid Pallas scorer,
+#   trans-affine tile shortcut, all of it.
+# - (single, multi) — enumerated ONCE from the single endpoint's row over
+#   a small directed side table (sparse.sparse_directed): E_data sums the
+#   multi side's copies — in-D copies via candidate geometry, frozen
+#   copies via the analytic trans term (a D-contig id is never a non-D
+#   contig id, so mixed pairs are always trans).
+# - (multi, multi) — a tiny static global list (density ~ dup_frac^2 of
+#   nnz): full c x c copy-pair enumeration; frozen x frozen blocks use
+#   base geometry (they contribute to E_data's value even though they
+#   are candidate-independent).
+#
+# The expected-mass term rides the plain kernel's mass (all active D x D
+# copy pairs) minus a same-data-bin pair correction (the data-grid
+# diagonal the likelihood excludes), plus v1's activity cross-term for
+# swap_activity's trans mass against the frozen genome.
+#
+# Exactness contract: every rep-flagged fragment's bin must be
+# multi-copy in the table (true for all production constructions —
+# pipeline.extend_with_repeats and synthetic add_scale_repeats always
+# append at least one extra copy) so single-copy rows never change
+# activity. Verified against v1 (the oracle) in test_delta_repeats.
+
+
+def _pair_e(gu, gv, ok, params, with_circ, nfpb):
+    """Linear expected contacts of copy pairs (broadcast shapes) —
+    module-level twin of the v1 closure."""
+    s = jnp.abs(gu["mid"] - gv["mid"])
+    same = gu["idc"] == gv["idc"]
+    log_cis = _log_cis(s, gu["circ"], gu["stot"], params, with_circ)
+    e = jnp.where(same, jnp.exp(log_cis), params.v_inter) \
+        * gu["a"] * gv["a"] / nfpb
+    return jnp.where(ok, e, 0.0)
+
+
+def split_observed_for_repeats(table: SubFragTable, sobs):
+    """Host-side split of the symmetric data-grid contacts by repeat
+    involvement. Returns (dup_mask (S,), sobs_single, mixed_directed,
+    (dd_s, dd_t, dd_ob, dd_lf) multi-multi upper entries)."""
+    from graal_tpu.core.sparse import (logfact_entries, sparse_directed,
+                                       sparse_from_coo)
+
+    data_id = np.asarray(table.data_id)
+    s_dim = table.n_data_sub
+    dup = np.bincount(data_id, minlength=s_dim) >= 2
+    r = np.asarray(sobs.rows)
+    c = np.asarray(sobs.cols)
+    v = np.asarray(sobs.vals)
+    up = r < c
+    r, c, v = r[up], c[up], v[up]
+    m_r, m_c = dup[r], dup[c]
+    none = ~(m_r | m_c)
+    both = m_r & m_c
+    one = (m_r | m_c) & ~both
+    sobs_single = sparse_from_coo(r[none], c[none], v[none], s_dim)
+    # mixed: directed, rows = the single-copy endpoint
+    sr = np.where(m_r[one], c[one], r[one])
+    sc = np.where(m_r[one], r[one], c[one])
+    mixed = sparse_directed(sr, sc, v[one], s_dim)
+    dd = (jnp.asarray(r[both], jnp.int32), jnp.asarray(c[both], jnp.int32),
+          jnp.asarray(v[both], jnp.float32),
+          jnp.asarray(logfact_entries(v[both]), jnp.float32))
+    return dup, sobs_single, mixed, dd
+
+
+def make_repeat_delta_scorer_v2(table: SubFragTable, f_max: int, sobs,
+                                candidate_batch: str = "vmap",
+                                catalogue=None):
+    """Hybrid repeat-aware delta scorer (see the section comment above).
+    Same contract as :func:`make_repeat_delta_scorer` (the v1 oracle)."""
+    from graal_tpu.core.delta import extract_rows, make_delta_scorer
+
+    if catalogue is None:
+        catalogue = build_candidates
+    mt = build_mini_table(table, allow_repeats=True)
+    ct = build_copy_table(table)
+    f_max = min(f_max, mt.n_frags)
+    s_max = mt.s_max
+    r_max = f_max * s_max
+    c_max = ct.c_max
+    k_subs = table.n_subs
+    s_dim = table.n_data_sub
+    nfpb = jnp.float32(table.n_frags_per_bins)
+    sub_len = table.len_kb
+    sub_pre = table.prefix_kb
+    sub_suf = table.suffix_kb
+    sub_accu = table.accu
+    owner = table.owner
+    data_id = table.data_id
+
+    dup_np, sobs_single, mixed, (dd_s, dd_t, dd_ob, dd_lf) = \
+        split_observed_for_repeats(table, sobs)
+    dup = jnp.asarray(dup_np)
+    n_dd = int(dd_s.shape[0])
+
+    # part 1: the plain engine over the single-single contacts, keyed by
+    # data bins (obs-grid + mini-grid Pallas kernels on TPU)
+    plain = make_delta_scorer(table, None, f_max, sobs=sobs_single,
+                              candidate_batch=candidate_batch,
+                              catalogue=catalogue, data_keys=data_id)
+
+    # mixed directed windows (single endpoint rows)
+    mnnz = int(mixed.cols.shape[0])
+    n_chm = (mixed.row_cap + 14) // 8
+    capm = n_chm * 8
+    mpacked = mixed.packed
+
+    def total_active_accu(state: GenomeState):
+        return jnp.sum(sub_accu * (state.activ[owner] == 1))
+
+    def pair_e(gu, gv, ok, params, with_circ):
+        return _pair_e(gu, gv, ok, params, with_circ, nfpb)
+
+    def sub_rows_of(rows, valid):
+        start = mt.sub_start[rows]
+        count = mt.sub_count[rows]
+        slot = jnp.arange(s_max, dtype=jnp.int32)[None, :]
+        subs = start[:, None] + slot
+        sub_valid = valid[:, None] & (slot < count[:, None])
+        owner_slot = jnp.broadcast_to(
+            jnp.arange(rows.shape[0], dtype=jnp.int32)[:, None], subs.shape)
+        return (subs.reshape(-1), sub_valid.reshape(-1),
+                owner_slot.reshape(-1))
+
+    def copy_rows_of(bins, cap_c):
+        """(..., cap_c) copy sub rows + validity of data bins (CSR)."""
+        b = jnp.clip(bins, 0, s_dim - 1)
+        ci = jnp.arange(cap_c, dtype=jnp.int32)
+        v0 = ct.copy_start[b]
+        shape = bins.shape + (cap_c,)
+        rows_ = ct.copy_rows[jnp.clip(v0[..., None] + ci, 0, k_subs - 1)]
+        ok = ci < (ct.copy_start[b + 1] - v0)[..., None]
+        return rows_.reshape(shape), ok.reshape(shape)
+
+    def mini_geometry(cand, subs_c, sub_valid, owner_slot):
+        start_kb = cand.start_bp[owner_slot].astype(jnp.float32) / 1000.0
+        ori = cand.ori[owner_slot]
+        mid = start_kb + jnp.where(ori == 1, sub_pre[subs_c],
+                                   sub_suf[subs_c]) + sub_len[subs_c] * 0.5
+        return dict(
+            mid=mid, idc=cand.id_c[owner_slot],
+            circ=cand.circ[owner_slot],
+            stot=cand.l_cont_bp[owner_slot].astype(jnp.float32) / 1000.0,
+            a=jnp.where((cand.activ[owner_slot] == 1) & sub_valid,
+                        sub_accu[subs_c], 0.0))
+
+    _BFIELDS = ("start_bp", "ori", "id_c", "circ", "l_cont_bp", "activ")
+
+    def frozen_geometry(state, krows):
+        """Base-state geometry of arbitrary copy rows (one stacked
+        gather)."""
+        mat = jnp.stack([getattr(state, f) for f in _BFIELDS], axis=1)
+        got = mat[owner[krows]]
+        start_kb = got[..., 0].astype(jnp.float32) / 1000.0
+        mid = start_kb + jnp.where(got[..., 1] == 1, sub_pre[krows],
+                                   sub_suf[krows]) + sub_len[krows] * 0.5
+        return dict(mid=mid, idc=got[..., 2], circ=got[..., 3],
+                    stot=got[..., 4].astype(jnp.float32) / 1000.0,
+                    a=jnp.where(got[..., 5] == 1, sub_accu[krows], 0.0))
+
+    def pick(g, idx):
+        return {k: x[idx] for k, x in g.items()}
+
+    def dscore_spec(state: GenomeState, f_a, f_b, params: RippeParams,
+                    max_id, with_circ: bool, rows=None, valid=None,
+                    overflow=None):
+        n = state.n_frags
+        if rows is None:
+            rows, valid, overflow = extract_rows(state, f_a, f_b, f_max)
+
+        dll1, cands, rows, valid, overflow = plain.spec(
+            state, f_a, f_b, params, max_id, with_circ,
+            rows=rows, valid=valid, overflow=overflow)
+
+        subs, sub_valid, owner_slot = sub_rows_of(rows, valid)
+        subs_c = jnp.clip(subs, 0, k_subs - 1)
+        db = data_id[subs_c]                                  # (R,)
+        db_dup = dup[db] & sub_valid
+
+        vrows = jnp.where(valid, rows, n)
+        inv_f = jnp.full((n,), -1, jnp.int32).at[vrows].set(
+            jnp.arange(f_max, dtype=jnp.int32), mode="drop")
+
+        def in_d_route(krows):
+            """(in_d, mini_row) of arbitrary copy sub rows."""
+            g = owner[krows]
+            slot = inv_f[g]
+            mrow = jnp.clip(
+                jnp.maximum(slot, 0) * s_max
+                + (krows - mt.sub_start[jnp.clip(g, 0, None)]),
+                0, r_max - 1)
+            return slot >= 0, mrow
+
+        # ---- candidate-independent routing --------------------------------
+        # mixed windows: rows r whose bin is SINGLE-copy (dup rows and
+        # duplicate-bin visitors have either empty or excluded windows)
+        rcm = jnp.clip(db, 0, s_dim - 1)
+        w_start = jnp.minimum(mixed.row_start[rcm], mnnz)
+        w_end = mixed.row_start[rcm + 1]
+        basem = w_start >> 3
+        rows_w = basem[:, None] + jnp.arange(n_chm, dtype=jnp.int32)
+        pk = mpacked[rows_w.reshape(-1)].reshape((r_max, n_chm, 8, 2))
+        gidx = rows_w[:, :, None] * 8 \
+            + jnp.arange(8, dtype=jnp.int32)[None, None, :]
+        mwin_valid = ((gidx >= w_start[:, None, None])
+                      & (gidx < w_end[:, None, None])
+                      & (sub_valid & ~db_dup)[:, None, None]
+                      ).reshape((r_max, capm))
+        pk = pk.reshape((r_max, capm, 2))
+        t_bin = pk[..., 0]                                     # (R, capm)
+        ob_m = jax.lax.bitcast_convert_type(pk[..., 1], jnp.float32)
+        ob_m = jnp.where(mwin_valid, ob_m, 0.0)
+        # multi side's copies: (R, capm, c)
+        v_rows, v_ok = copy_rows_of(t_bin, c_max)
+        v_in, v_mini = in_d_route(v_rows)
+        v_in_ok = v_in & v_ok & mwin_valid[..., None]
+        v_out_ok = ~v_in & v_ok & mwin_valid[..., None]
+        gv_frozen = frozen_geometry(state, v_rows)
+        a_out_t = jnp.sum(jnp.where(v_out_ok, gv_frozen["a"], 0.0),
+                          axis=2)                              # (R, capm)
+        safe_obm = jnp.where(ob_m > 0.0, ob_m, 1.0)
+        lf_big = safe_obm * jnp.log(safe_obm) - safe_obm \
+            + 0.5 * jnp.log(safe_obm * 2.0 * np.pi)
+        lf_m = jnp.where(ob_m >= _STIRLING_LIM, lf_big,
+                         jnp.where(ob_m > 0.0,
+                                   _log_factorial_ref(safe_obm), 0.0))
+
+        # multi-multi entries: both sides' copies + frozen-frozen base term
+        ddu_rows, ddu_ok = copy_rows_of(dd_s, c_max)           # (ndd, c)
+        ddv_rows, ddv_ok = copy_rows_of(dd_t, c_max)
+        ddu_in, ddu_mini = in_d_route(ddu_rows)
+        ddv_in, ddv_mini = in_d_route(ddv_rows)
+        gu_f = frozen_geometry(state, ddu_rows)
+        gv_f = frozen_geometry(state, ddv_rows)
+        ff_ok = (ddu_ok & ~ddu_in)[:, :, None] \
+            & (ddv_ok & ~ddv_in)[:, None, :]
+        e_ff = jnp.sum(pair_e({k: x[:, :, None] for k, x in gu_f.items()},
+                              {k: x[:, None, :] for k, x in gv_f.items()},
+                              ff_ok, params, with_circ), axis=(1, 2))
+        a_u_out = jnp.where(ddu_ok & ~ddu_in, gu_f["a"], 0.0)  # (ndd, c)
+        a_v_out = jnp.where(ddv_ok & ~ddv_in, gv_f["a"], 0.0)
+
+        # same-bin in-D pairs (mass correction): co-copies of each row
+        sb_rows, sb_ok = copy_rows_of(db, c_max)               # (R, c)
+        sb_in, sb_mini = in_d_route(sb_rows)
+        # count each unordered pair once: partner mini row strictly above
+        sb_use = sb_in & sb_ok & db_dup[:, None] \
+            & (sb_mini > jnp.arange(r_max, dtype=jnp.int32)[:, None])
+
+        # ---- part 4: dup-row windows over FROZEN single-copy partners ----
+        # An observed pair (s multi-copy with a copy in D, t single-copy
+        # with its copy frozen) is enumerated from NEITHER the mixed table
+        # (t not in D) nor the multi-multi list (t single) — yet its
+        # E_data moves when an in-D copy of s toggles activity
+        # (swap_activity): E_data = C_frozen + v_inter/nfpb * a_t *
+        # a_inD(s, cand). Read the full data-grid window of each
+        # dup-owned D row (first occurrence per bin) from the ORIGINAL
+        # symmetric sobs, mask to frozen single-copy partners.
+        dnnz = int(sobs.cols.shape[0])
+        n_chd = (sobs.row_cap + 14) // 8
+        capd = n_chd * 8
+        inv_db = jnp.full((s_dim,), -1, jnp.int32).at[
+            jnp.where(sub_valid & db_dup, db, s_dim)].set(
+            jnp.arange(r_max, dtype=jnp.int32), mode="drop")
+        first_dup = db_dup & (inv_db[jnp.clip(db, 0, s_dim - 1)]
+                              == jnp.arange(r_max, dtype=jnp.int32))
+        d_start = jnp.minimum(sobs.row_start[rcm], dnnz)
+        d_end = sobs.row_start[rcm + 1]
+        based = d_start >> 3
+        rows_d = based[:, None] + jnp.arange(n_chd, dtype=jnp.int32)
+        pkd = sobs.packed[rows_d.reshape(-1)].reshape((r_max, n_chd, 8, 2))
+        gidxd = rows_d[:, :, None] * 8 \
+            + jnp.arange(8, dtype=jnp.int32)[None, None, :]
+        dwin = ((gidxd >= d_start[:, None, None])
+                & (gidxd < d_end[:, None, None])
+                & first_dup[:, None, None]).reshape((r_max, capd))
+        pkd = pkd.reshape((r_max, capd, 2))
+        t4 = pkd[..., 0]                                       # (R, capd)
+        ob4 = jnp.where(
+            dwin, jax.lax.bitcast_convert_type(pkd[..., 1], jnp.float32),
+            0.0)
+        t4c = jnp.clip(t4, 0, s_dim - 1)
+        t4_single = ~dup[t4c]
+        t4_row = ct.copy_rows[jnp.clip(ct.copy_start[t4c], 0, k_subs - 1)]
+        t4_in_d, _ = in_d_route(t4_row)
+        g_t4 = frozen_geometry(state, t4_row)                  # (R, capd)
+        valid4 = dwin & t4_single & ~t4_in_d
+        # C_frozen: frozen copies of db[r] x t4's frozen copy
+        g_u4 = frozen_geometry(state, sb_rows)                 # (R, c)
+        u4_ok = (sb_ok & ~sb_in)[:, None, :] & valid4[:, :, None]
+        c_frozen4 = jnp.sum(
+            pair_e({k: x[:, None, :] for k, x in g_u4.items()},
+                   {k: x[:, :, None] for k, x in g_t4.items()},
+                   u4_ok, params, with_circ), axis=2)          # (R, capd)
+        coef4 = jnp.where(valid4, params.v_inter / nfpb * g_t4["a"], 0.0)
+        safe_ob4 = jnp.where(ob4 > 0.0, ob4, 1.0)
+        lf4_big = safe_ob4 * jnp.log(safe_ob4) - safe_ob4 \
+            + 0.5 * jnp.log(safe_ob4 * 2.0 * np.pi)
+        lf4 = jnp.where(ob4 >= _STIRLING_LIM, lf4_big,
+                        jnp.where(ob4 > 0.0,
+                                  _log_factorial_ref(safe_ob4), 0.0))
+
+        # frozen same-bin accu per row (activity cross-term)
+        o_same = jnp.sum(jnp.where(sb_ok & ~sb_in,
+                                   frozen_geometry(state, sb_rows)["a"],
+                                   0.0), axis=1)               # (R,)
+        w_all = total_active_accu(state)
+
+        log_v = jnp.log(params.v_inter)
+
+        def corr_terms(cand):
+            g = mini_geometry(cand, subs_c, sub_valid, owner_slot)
+            a_vec = g["a"]
+            # --- mixed obs: E_data = in-D copy pairs + frozen trans ----
+            gv_in = pick(g, v_mini)                  # (R, capm, c) routed
+            gu = {k: x[:, None, None] for k, x in g.items()}
+            e_in = jnp.sum(pair_e(gu, gv_in, v_in_ok, params, with_circ),
+                           axis=2)                             # (R, capm)
+            e_mix = e_in + params.v_inter / nfpb \
+                * a_vec[:, None] * a_out_t
+            term = ob_m * jnp.log(jnp.where(e_mix > 0.0, e_mix, 1.0)) \
+                - lf_m
+            obs_mixed = jnp.sum(
+                jnp.where(mwin_valid & (e_mix > 0.0), term, 0.0))
+            # --- multi-multi obs ---------------------------------------
+            if n_dd:
+                gu_in = pick(g, ddu_mini)                      # (ndd, c)
+                gv_in2 = pick(g, ddv_mini)
+                ii_ok = (ddu_ok & ddu_in)[:, :, None] \
+                    & (ddv_ok & ddv_in)[:, None, :]
+                e_ii = jnp.sum(
+                    pair_e({k: x[:, :, None] for k, x in gu_in.items()},
+                           {k: x[:, None, :] for k, x in gv_in2.items()},
+                           ii_ok, params, with_circ), axis=(1, 2))
+                a_u_in = jnp.where(ddu_ok & ddu_in, gu_in["a"], 0.0)
+                a_v_in = jnp.where(ddv_ok & ddv_in, gv_in2["a"], 0.0)
+                e_mixed_dd = params.v_inter / nfpb * (
+                    jnp.sum(a_u_in, 1) * jnp.sum(a_v_out, 1)
+                    + jnp.sum(a_u_out, 1) * jnp.sum(a_v_in, 1))
+                e_dd = e_ff + e_ii + e_mixed_dd                # (ndd,)
+                term_dd = dd_ob * jnp.log(jnp.where(e_dd > 0.0, e_dd, 1.0)) \
+                    - dd_lf
+                obs_dd = jnp.sum(jnp.where(e_dd > 0.0, term_dd, 0.0))
+            else:
+                obs_dd = jnp.float32(0.0)
+            # --- part 4: frozen single-copy partners of dup rows -------
+            a_in_d = jnp.sum(jnp.where(sb_in & sb_ok,
+                                       a_vec[sb_mini], 0.0), axis=1)  # (R,)
+            e4 = c_frozen4 + coef4 * a_in_d[:, None]
+            term4 = ob4 * jnp.log(jnp.where(e4 > 0.0, e4, 1.0)) - lf4
+            obs4 = jnp.sum(jnp.where(valid4 & (e4 > 0.0), term4, 0.0))
+            # --- same-bin mass correction (subtract from part-1 mass) --
+            g_sb = pick(g, sb_mini)                            # (R, c)
+            e_sb = jnp.sum(pair_e({k: x[:, None] for k, x in g.items()},
+                                  g_sb, sb_use, params, with_circ))
+            return obs_mixed + obs_dd + obs4 + e_sb, a_vec
+
+        base_mini = gather_mini(state, rows, valid)
+        full = jax.tree.map(
+            lambda m, c: jnp.concatenate([m[None], c], axis=0),
+            base_mini, cands)
+        if candidate_batch == "vmap":
+            corr, a_all = jax.vmap(corr_terms)(full)
+        else:
+            corr, a_all = jax.lax.map(corr_terms, full)
+        a_base = a_all[0]
+        w_d = jnp.sum(a_base)
+        w_out = w_all - w_d
+        cross = params.v_inter / nfpb * jnp.sum(
+            (a_all[1:] - a_base[None, :]) * (w_out - o_same)[None, :],
+            axis=1)
+        dll = dll1 + (corr[1:] - corr[0]) - cross
+        return dll, cands, rows, valid, overflow
+
+    def dscore(state: GenomeState, f_a, f_b, params: RippeParams, max_id):
+        any_circ = jnp.any(state.id_c[f_b] == state.id_c[f_a]) | \
+            jnp.any(state.circ == 1)
+
+        def run(with_circ):
+            return lambda _: dscore_spec(state, f_a, f_b, params, max_id,
+                                         with_circ)
+
+        return jax.lax.cond(any_circ, run(True), run(False), operand=None)
+
+    dscore.spec = dscore_spec
+    return dscore

@@ -313,7 +313,7 @@ def _delta_mh_scorer(table: SubFragTable, f_max: int, sobs,
     if table.has_repeats:
         from graal_tpu.core import delta_repeats
 
-        return delta_repeats.make_repeat_delta_scorer(
+        return delta_repeats.make_repeat_delta_scorer_v2(
             table, f_max, sobs, catalogue=catalogue)
     return delta_mod.make_delta_scorer(
         table, None, f_max, sobs=sobs,

@@ -73,25 +73,30 @@ class SparseObs(NamedTuple):
     packed: jnp.ndarray     # (ceil((nnz_sym+row_cap+16)/8), 16) int32
 
 
-def _logfact_const(vals_upper: np.ndarray) -> float:
-    """-sum log(ob!) with the reference's factorial branches
+def logfact_entries(vals: np.ndarray) -> np.ndarray:
+    """Per-entry log(ob!) with the reference's factorial branches
     (kernels3.cu:80-93, :169-210): Stirling expansion for ob >= 15, floor +
-    exact factorial < 10, floor + Stirling 10..14."""
+    exact factorial < 10, floor + Stirling 10..14. Zero counts map to 0."""
     import math
 
-    ob = np.asarray(vals_upper, np.float64)
-    ob = ob[ob > 0]
+    ob = np.asarray(vals, np.float64)
     out = np.zeros_like(ob)
-    big = ob >= 15
-    out[big] = -(ob[big] * np.log(ob[big]) - ob[big]
-                 + np.log(np.sqrt(ob[big] * 2 * np.pi)))
-    mid = (ob >= 10) & ~big
+    pos = ob > 0
+    big = pos & (ob >= 15)
+    out[big] = (ob[big] * np.log(ob[big]) - ob[big]
+                + np.log(np.sqrt(ob[big] * 2 * np.pi)))
+    mid = pos & (ob >= 10) & ~big
     nn = np.floor(ob[mid])
-    out[mid] = -(nn * np.log(nn) - nn + 0.5 * np.log(2 * np.pi * nn))
-    small = ob < 10
-    out[small] = -np.array(
+    out[mid] = nn * np.log(nn) - nn + 0.5 * np.log(2 * np.pi * nn)
+    small = pos & (ob < 10)
+    out[small] = np.array(
         [math.lgamma(math.floor(x) + 1) for x in ob[small]])
-    return float(out.sum())
+    return out
+
+
+def _logfact_const(vals_upper: np.ndarray) -> float:
+    """-sum log(ob!) over the upper-triangular observed counts."""
+    return float(-logfact_entries(vals_upper).sum())
 
 
 def sparse_from_coo(rows, cols, vals, n: int) -> SparseObs:
@@ -128,6 +133,42 @@ def sparse_from_coo(rows, cols, vals, n: int) -> SparseObs:
         row_cap=row_cap,
         n=n,
         logfact_const=_logfact_const(sp.triu(sym, k=1).tocoo().data),
+        packed=jnp.asarray(flat.reshape(-1, 16)))
+
+
+def sparse_directed(rows, cols, vals, n: int) -> SparseObs:
+    """Directed (one-orientation) CSR windows in the SparseObs layout: the
+    entries are stored exactly as given (sorted by (row, col), duplicates
+    summed, NO symmetrisation, diagonal kept out by the caller). Used by
+    the repeat delta engine's mixed-pair side table, where each
+    (non-repeat, repeat) observed pair is enumerated once from its
+    non-repeat endpoint. ``logfact_const`` is not meaningful here (0)."""
+    import scipy.sparse as sp
+
+    m = sp.coo_matrix((np.asarray(vals, np.float64),
+                       (np.asarray(rows), np.asarray(cols))),
+                      shape=(n, n)).tocsr()
+    m.sum_duplicates()
+    m.sort_indices()
+    counts = np.diff(m.indptr)
+    coo = m.tocoo()
+    row_cap = int(counts.max()) if len(counts) and counts.size else 1
+    row_cap = max(row_cap, 1)
+    nnz = int(coo.row.shape[0])
+    e_pad = (nnz + row_cap + 16 + 7) // 8 * 8
+    flat = np.empty((e_pad, 2), np.int32)
+    flat[:nnz, 0] = coo.col
+    flat[:nnz, 1] = np.asarray(coo.data, np.float32).view(np.int32)
+    flat[nnz:, 0] = -3
+    flat[nnz:, 1] = 0
+    return SparseObs(
+        rows=jnp.asarray(coo.row, jnp.int32),
+        cols=jnp.asarray(coo.col, jnp.int32),
+        vals=jnp.asarray(coo.data, jnp.float32),
+        row_start=jnp.asarray(m.indptr, jnp.int32),
+        row_cap=row_cap,
+        n=n,
+        logfact_const=0.0,
         packed=jnp.asarray(flat.reshape(-1, 16)))
 
 

@@ -314,8 +314,8 @@ def make_sharded_sparse_anchor(mesh: Mesh, table: SubFragTable, sobs,
     """
     from graal_tpu.core.sparse import genome_sort_order
 
-    assert not table.has_repeats, \
-        "sharded sparse anchor: repeat tables re-anchor locally"
+    if table.has_repeats:
+        return _make_sharded_sparse_anchor_repeats(mesh, table, sobs, w)
     n_rows_ax = mesh.shape["rows"]
     k = table.n_subs
     owner = table.owner
@@ -407,6 +407,158 @@ def make_sharded_sparse_anchor(mesh: Mesh, table: SubFragTable, sobs,
     @jax.jit
     def fn(states, params_b):
         return sharded(states, params_b, u_s, v_s, x_s)
+
+    return fn
+
+
+def _make_sharded_sparse_anchor_repeats(mesh: Mesh, table: SubFragTable,
+                                        sobs, w: int):
+    """Copy-expanded twin of :func:`make_sharded_sparse_anchor` — the
+    round-4 review's repeat exclusion, lifted. Same decomposition as
+    core.sparse._make_sparse_loglik_repeats, sharded over ``rows``:
+
+    - term1 (observed pairs): nnz entries sharded with their static
+      c x c copy blocks and per-entry log-factorials (the factorial rides
+      the E > 0 indicator — a candidate can deactivate every copy);
+    - banded cis correction: sorted left-end chunks per device, with
+      same-data-bin pairs excluded;
+    - analytic trans mass and same-bin subtraction: state-DEPENDENT with
+      repeats (activity), O(K + S) — evaluated on the axis-0 device and
+      psum-folded with everything else.
+    """
+    from graal_tpu.core.delta_repeats import build_copy_table
+    from graal_tpu.core.sparse import genome_sort_order, logfact_entries
+
+    n_rows_ax = mesh.shape["rows"]
+    ct = build_copy_table(table)
+    k = table.n_subs
+    s_dim = table.n_data_sub
+    owner = table.owner
+    accu = table.accu
+    data_id = table.data_id
+    nfpb = jnp.float32(table.n_frags_per_bins)
+    c_max = ct.c_max
+
+    # host: per-entry copy blocks + log-factorials, padded + sharded
+    u_np = np.asarray(sobs.rows)
+    v_np = np.asarray(sobs.cols)
+    x_np = np.asarray(sobs.vals, np.float32)
+    lf_np = np.asarray(logfact_entries(x_np), np.float32)
+    cs = np.asarray(ct.copy_start)
+    cr = np.asarray(ct.copy_rows)
+    counts = cs[1:] - cs[:-1]
+
+    def blocks(bins):
+        base = cs[bins][:, None] + np.arange(c_max)[None, :]
+        rows = cr[np.clip(base, 0, len(cr) - 1)]
+        ok = np.arange(c_max)[None, :] < counts[bins][:, None]
+        return rows.astype(np.int32), ok
+
+    ur_np, uo_np = blocks(u_np)
+    vr_np, vo_np = blocks(v_np)
+    pad = (-len(u_np)) % n_rows_ax
+
+    def padshard(x, fill):
+        x = np.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1),
+                   constant_values=fill)
+        return jax.device_put(jnp.asarray(x),
+                              NamedSharding(mesh, P("rows")))
+
+    ur_s, uo_s = padshard(ur_np, 0), padshard(uo_np, False)
+    vr_s, vo_s = padshard(vr_np, 0), padshard(vo_np, False)
+    x_s = padshard(x_np, 0.0)
+    lf_s = padshard(lf_np, 0.0)
+
+    chunk = -(-k // n_rows_ax)
+    k_pad = chunk * n_rows_ax + w
+
+    def pad_tail(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((k_pad - k,), fill, x.dtype)])
+
+    bins_all = jnp.arange(s_dim, dtype=jnp.int32)
+    b0_all = ct.copy_start[bins_all]
+    b_rows_all = ct.copy_rows[jnp.clip(
+        b0_all[:, None] + jnp.arange(c_max)[None, :], 0, k - 1)]
+    b_ok_all = jnp.arange(c_max)[None, :] \
+        < (ct.copy_start[bins_all + 1] - b0_all)[:, None]
+
+    def local_ll(state, params, u_r, u_k, v_r, v_k, x, lf, lo, on_axis0):
+        order, mid = genome_sort_order(state, table)
+        idc = state.id_c[owner]
+        circ = state.circ[owner]
+        stot = state.l_cont_bp[owner].astype(jnp.float32) / 1000.0
+        a = jnp.where(state.activ[owner] == 1, accu, 0.0)
+
+        # term1: copy-summed observed shard
+        s = jnp.abs(mid[u_r][:, :, None] - mid[v_r][:, None, :])
+        same = idc[u_r][:, :, None] == idc[v_r][:, None, :]
+        na = a[u_r][:, :, None] * a[v_r][:, None, :] / nfpb
+        e = expected_contacts(s, same, (circ[u_r] == 1)[:, :, None],
+                              stot[u_r][:, :, None], na, params)
+        ok = u_k[:, :, None] & v_k[:, None, :]
+        e_data = jnp.sum(jnp.where(ok, e, 0.0), axis=(1, 2))
+        term = x * jnp.log(jnp.where(e_data > 0.0, e_data, 1.0)) - lf
+        term1 = 0.5 * jnp.sum(
+            jnp.where((x != 0.0) & (e_data > 0.0), term, 0.0))
+
+        # banded cis correction over this device's sorted chunk,
+        # same-data-bin pairs excluded
+        mid_s = pad_tail(mid[order], jnp.float32(0.0))
+        idc_s = pad_tail(idc[order], jnp.int32(-1))
+        circ_s = pad_tail(circ[order], jnp.int32(0))
+        stot_s = pad_tail(stot[order], jnp.float32(1.0))
+        a_s = pad_tail(a[order], jnp.float32(0.0))
+        db_s = pad_tail(data_id[order], jnp.int32(-2))
+        seg = lambda arr, off: jax.lax.dynamic_slice(arr, (lo + off,),
+                                                     (chunk,))
+        mid_l, idc_l = seg(mid_s, 0), seg(idc_s, 0)
+        circ_l, stot_l = seg(circ_s, 0), seg(stot_s, 0)
+        a_l, db_l = seg(a_s, 0), seg(db_s, 0)
+        gidx = lo + jnp.arange(chunk)
+
+        def body(off, acc):
+            mid_r = seg(mid_s, off)
+            idc_r = seg(idc_s, off)
+            a_r = seg(a_s, off)
+            db_r = seg(db_s, off)
+            valid = (gidx + off < k) & (gidx < k)
+            sdist = jnp.abs(mid_l - mid_r)
+            same2 = (idc_l == idc_r) & valid & (db_l != db_r)
+            na2 = a_l * a_r / nfpb
+            e_cis = expected_contacts(sdist, same2, circ_l == 1, stot_l,
+                                      na2, params)
+            corr = jnp.where(same2, e_cis - params.v_inter * na2, 0.0)
+            return acc + jnp.sum(corr)
+
+        cis_corr = jax.lax.fori_loop(1, w + 1, body, jnp.float32(0.0))
+
+        # analytic trans mass minus same-bin pairs (state-dependent with
+        # repeats: activity) — folded in on the axis-0 device only
+        a_sum = jnp.sum(a)
+        a_sq = jnp.sum(a * a)
+        b_sums = jnp.sum(jnp.where(b_ok_all, a[b_rows_all], 0.0), axis=1)
+        same_bin = (jnp.sum(b_sums * b_sums) - a_sq) * 0.5
+        trans_mass = params.v_inter / nfpb * \
+            ((a_sum * a_sum - a_sq) * 0.5 - same_bin)
+        return term1 - cis_corr - jnp.where(on_axis0, trans_mass, 0.0)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(P("chains"), P("chains"), P("rows"), P("rows"), P("rows"),
+                  P("rows"), P("rows"), P("rows")),
+        out_specs=P("chains"), check_vma=False)
+    def sharded(states, params_b, u_r, u_k, v_r, v_k, x, lf):
+        lo = jax.lax.axis_index("rows") * chunk
+        on0 = jax.lax.axis_index("rows") == 0
+        part = jax.vmap(
+            lambda s, p: local_ll(s, p, u_r, u_k, v_r, v_k, x, lf, lo,
+                                  on0))(states, params_b)
+        return jax.lax.psum(part, "rows")
+
+    @jax.jit
+    def fn(states, params_b):
+        return sharded(states, params_b, ur_s, uo_s, vr_s, vo_s, x_s, lf_s)
 
     return fn
 

@@ -128,14 +128,14 @@ class ScaleRunner:
         nnz triplets and the banded correction are sharded over a rows
         mesh and psum-reduced (parallel.sharding.make_sharded_sparse_anchor
         — the once-per-cycle anchor stops being a replicated single-device
-        serial cost at 500k fragments); single device or repeat tables
-        evaluate locally."""
+        serial cost at 500k fragments; repeat tables shard through the
+        copy-summing twin); single-device hosts evaluate locally."""
         import jax
         import jax.numpy as jnp
 
         if self._anchor is None:
             n_dev = len(jax.devices())
-            if n_dev > 1 and not self.table.has_repeats:
+            if n_dev > 1:
                 self._local_anchor = jax.jit(
                     sparse.make_sparse_loglik(self.table, self.sobs, self.w))
                 from graal_tpu.parallel.sharding import (
@@ -185,7 +185,7 @@ class ScaleRunner:
         import jax.numpy as jnp
 
         n_dev = len(jax.devices())
-        if n_dev > 1 and not self.table.has_repeats:
+        if n_dev > 1:
             from graal_tpu.parallel.sharding import (
                 make_mesh, make_sharded_sparse_anchor)
 
@@ -647,7 +647,7 @@ class ScaleRunner:
         ladder = jnp.asarray(temperature_ladder(
             n_chains, t_min=f_t, t_max=max(t_max, f_t)))
         swap = jax.jit(pt_swap, static_argnames=("parity",))
-        if mesh.devices.size > 1 and not self.table.has_repeats:
+        if mesh.devices.size > 1:
             from graal_tpu.parallel.sharding import make_sharded_sparse_anchor
 
             anchor_c = make_sharded_sparse_anchor(

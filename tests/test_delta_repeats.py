@@ -63,10 +63,12 @@ def full_scores(cands_flat, table, obs, params):
         lambda c: likelihood.log_likelihood(c, table, obs, params))(cands_flat)
 
 
-def _check_trials(state, table, params, obs, pairs, f_max=24, atol=0.35):
+def _check_trials(state, table, params, obs, pairs, f_max=24, atol=0.35,
+                  impl="v1"):
     sobs = sparse.sparse_from_dense(obs)
-    dscore = jax.jit(delta_repeats.make_repeat_delta_scorer(
-        table, f_max, sobs))
+    make = delta_repeats.make_repeat_delta_scorer if impl == "v1" \
+        else delta_repeats.make_repeat_delta_scorer_v2
+    dscore = jax.jit(make(table, f_max, sobs))
     l0 = float(likelihood.log_likelihood(state, table, obs, params))
     max_id = jnp.max(state.id_c)
     for f_a, f_b in pairs:
@@ -79,34 +81,38 @@ def _check_trials(state, table, params, obs, pairs, f_max=24, atol=0.35):
                                    atol=atol, err_msg=f"fa={f_a} fb={f_b}")
 
 
-def test_repeat_delta_matches_full_difference(problem):
+@pytest.mark.parametrize("impl", ["v1", "v2"])
+def test_repeat_delta_matches_full_difference(problem, impl):
     state, table, params, obs = problem
     n = state.n_frags
     rng = np.random.default_rng(0)
     pairs = [(int(rng.integers(n)), int(rng.integers(n))) for _ in range(3)]
-    _check_trials(state, table, params, obs, pairs)
+    _check_trials(state, table, params, obs, pairs, impl=impl)
 
 
-def test_repeat_delta_on_repeat_copy(problem):
+@pytest.mark.parametrize("impl", ["v1", "v2"])
+def test_repeat_delta_on_repeat_copy(problem, impl):
     """f_a = a repeat copy: swap_activity (op 8) is non-trivial, and the
     copy-summed expectations must include the copy's original bin."""
     state, table, params, obs = problem
     rep = np.nonzero(np.asarray(state.rep) == 1)[0]
     n = state.n_frags
     pairs = [(int(rep[-1]), 5), (int(rep[0]), int(rep[-1])), (3, 8)]
-    _check_trials(state, table, params, obs, pairs)
+    _check_trials(state, table, params, obs, pairs, impl=impl)
 
 
-def test_repeat_delta_with_inactive_copy():
+@pytest.mark.parametrize("impl", ["v1", "v2"])
+def test_repeat_delta_with_inactive_copy(impl):
     """A deactivated copy in the BASE state: reactivation via swap_activity
     and all geometry moves must still match the full difference."""
     state, table, params, obs = _repeat_problem(seed=12, deactivate=(30,))
     rep = np.nonzero(np.asarray(state.rep) == 1)[0]
     pairs = [(30, 4), (int(rep[0]), 30), (7, 19)]
-    _check_trials(state, table, params, obs, pairs)
+    _check_trials(state, table, params, obs, pairs, impl=impl)
 
 
-def test_repeat_delta_on_circular_contig(problem):
+@pytest.mark.parametrize("impl", ["v1", "v2"])
+def test_repeat_delta_on_circular_contig(problem, impl):
     state, table, params, obs = problem
     in0 = np.asarray(state.id_c) == 0
     circ = np.asarray(state.circ).copy()
@@ -114,7 +120,7 @@ def test_repeat_delta_on_circular_contig(problem):
     state_c = state._replace(circ=jnp.asarray(circ, jnp.int32))
     f_a = int(np.nonzero(in0)[0][1])
     f_b = int(np.nonzero(~in0)[0][0])
-    _check_trials(state_c, table, params, obs, [(f_a, f_b)])
+    _check_trials(state_c, table, params, obs, [(f_a, f_b)], impl=impl)
 
 
 def test_repeat_delta_step_routing(problem):

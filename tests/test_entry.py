@@ -19,6 +19,7 @@ def test_entry_compiles_and_runs():
     assert bool(jax.numpy.isfinite(score))
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_eight_devices():
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import dryrun_multichip

@@ -91,6 +91,7 @@ def test_prev_next_derivation(problem):
     assert int(prev0) == -1
 
 
+@pytest.mark.slow
 def test_mtm_step_with_scorer_matches_jnp(problem):
     """Scorer-threaded MTM forward/backward passes agree with the jnp path."""
     state, table, params, obs = problem
@@ -142,6 +143,7 @@ def test_corrected_variants_refine(problem, variant):
     assert float(l_t) > l0 + 0.15 * (l_true - l0), (l0, float(l_t), l_true)
 
 
+@pytest.mark.slow
 def test_delta_mh_catalogue_matches_full_difference():
     """The delta scorer with the MH catalogue must reproduce the full
     likelihood difference of mh_candidates for every (neighbour, op)."""
@@ -171,6 +173,7 @@ def test_delta_mh_catalogue_matches_full_difference():
                                    err_msg=f"f_a={f_a} f_b={f_b}")
 
 
+@pytest.mark.slow
 def test_scale_mtm_refines():
     """Delta-scored MTM at scale: refinement from a perturbed genome
     improves the likelihood, keeps invariants, and the carried anchor
@@ -197,6 +200,7 @@ def test_scale_mtm_refines():
     assert abs(l_t - float(runner.anchor_fn()(final, params))) < 1e-3
 
 
+@pytest.mark.slow
 def test_scale_mh_refines():
     """Delta-scored plain MH at scale (variant='mh')."""
     from graal_tpu.scale import ScaleRunner
@@ -220,6 +224,7 @@ def test_scale_mh_refines():
 
 
 @pytest.mark.parametrize("variant", ["mtm", "mh"])
+@pytest.mark.slow
 def test_scale_mtm_with_repeats(variant):
     """Repeat-carrying genomes MTM/MH-refine at chr1 scale (round-2 gap:
     the delta samplers asserted repeat-free tables)."""

@@ -65,6 +65,7 @@ def test_duplicate_window_columns_sum():
     assert out[0, 0] == 5.0
 
 
+@pytest.mark.slow
 def test_delta_scorer_pallas_grid_matches_jnp(monkeypatch):
     """The fused mini-grid kernel path (grid_impl='pallas', interpreted)
     must produce the same candidate deltas as the jnp grid_terms path."""

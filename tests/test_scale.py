@@ -19,6 +19,7 @@ from graal_tpu.utils.synthetic_sparse import (make_scale_genome, scale_params,
                                               simulate_sparse_contacts)
 
 
+@pytest.mark.slow
 def test_scale_assembly_recovers_structure():
     """A 1500-bin shuffled genome must reassemble: distance to ground truth
     drops sharply and the likelihood approaches the true-genome value."""
@@ -42,6 +43,7 @@ def test_scale_assembly_recovers_structure():
     assert gap1 < 0.25 * gap0, (ll_shuf, metrics["likelihood"], ll_true)
 
 
+@pytest.mark.slow
 def test_scale_extremity_order_subsampled_progress():
     """Subsampled cycles with extremity-first scheduling must repair the
     genome: at 500k fragments a uniform 1000-step subsample measurably
@@ -68,6 +70,7 @@ def test_scale_extremity_order_subsampled_progress():
     assert m["likelihood"][-1] > ll_shuf, (ll_shuf, m["likelihood"])
 
 
+@pytest.mark.slow
 def test_scale_bucket_growth():
     """f_max buckets must grow as contigs coalesce and stay >= the largest
     contig (otherwise joins can never be scored)."""
@@ -83,6 +86,7 @@ def test_scale_bucket_growth():
     assert max_contig_subs(final, table) <= metrics["f_max"][-1] * 2
 
 
+@pytest.mark.slow
 def test_scale_100k_fragments():
     """The BASELINE chr1-class size actually runs: 100k fragments, sparse
     end to end, exact incremental likelihood. CPU budget: a slice of one
@@ -105,6 +109,7 @@ def test_scale_100k_fragments():
     assert metrics["overflow"][0] == 0
 
 
+@pytest.mark.slow
 def test_scale_nuisance_sampling():
     """Per-cycle nuisance sampling under the sparse scorer keeps parameters
     finite and the likelihood consistent."""
@@ -121,6 +126,7 @@ def test_scale_nuisance_sampling():
     assert float(out_params.v_inter) > 0
 
 
+@pytest.mark.slow
 def test_scale_runner_with_repeats():
     """Chr1-scale machinery end to end on a copy-expanded table: delta
     scoring routes to the repeat scorer, the sparse anchor copy-sums, and
@@ -212,6 +218,7 @@ def test_from_dataset_with_repeats(tmp_path):
     assert metrics["likelihood"][-1] > ll0
 
 
+@pytest.mark.slow
 def test_run_chains_on_mesh():
     """Multi-chain tempered scale run over the 8-device CPU mesh: chains
     improve at their own temperatures, adjacent-pair PT swaps exchange
@@ -235,6 +242,7 @@ def test_run_chains_on_mesh():
     assert "swaps" in m and len(m["swaps"]) == 2
 
 
+@pytest.mark.slow
 def test_scale_multilevel_warm_start(tmp_path):
     """Coarse-to-fine sparse cascade: level-2 assembly projected onto
     level 1 must start at (or land immediately on) the exact structure."""
@@ -254,6 +262,7 @@ def test_scale_multilevel_warm_start(tmp_path):
     assert per_level[-1]["dist_init_genome"][-1] <= 0.1
 
 
+@pytest.mark.slow
 def test_run_chains_sample_param():
     """Per-chain nuisance sampling inside multi-chain runs: chains carry
     their own parameter vectors and the run still improves."""
@@ -272,6 +281,7 @@ def test_run_chains_sample_param():
     assert float(m["params"].d_max) <= runner.max_covered_d_max + 1e-3
 
 
+@pytest.mark.slow
 def test_scale_checkpoint_resume_bitexact(tmp_path):
     """Kill-and-resume parity: 2 cycles + resume for 2 more must equal an
     uninterrupted 4-cycle run bit-exactly (state arrays AND params)."""
@@ -346,6 +356,7 @@ def test_scan_chunk_cap_bounds_product():
     assert _scan_chunk_cap(512, 3, 500_000) < _scan_chunk_cap(512, 1, 500_000)
 
 
+@pytest.mark.slow
 def test_run_chains_checkpoint_resume_bitexact(tmp_path):
     """Tempered-ensemble checkpoints: 1 cycle + resume for 2 more equals
     an uninterrupted 3-cycle run bit-exactly across every chain."""

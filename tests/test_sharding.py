@@ -122,3 +122,37 @@ def test_sharded_sparse_anchor_matches_local():
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=1.0)
     # states must differ enough that this is a real 4-way check
     assert len(np.unique(want.round(2))) >= 3
+
+
+def test_sharded_sparse_anchor_with_repeats():
+    """The copy-summing sharded anchor (round-5: repeat exclusion lifted)
+    must match the local copy-summing sparse likelihood on the
+    8-virtual-device mesh, including with a deactivated copy."""
+    from graal_tpu.core import sparse as sparse_mod
+    from graal_tpu.parallel.sharding import (make_mesh,
+                                             make_sharded_sparse_anchor)
+    from graal_tpu.scale import ScaleRunner
+    from graal_tpu.utils.synthetic_sparse import (add_scale_repeats,
+                                                  make_scale_genome,
+                                                  scale_params,
+                                                  shuffle_genome,
+                                                  simulate_sparse_contacts)
+
+    params = scale_params()
+    base, base_table = make_scale_genome(250, 3, seed=61)
+    sobs = simulate_sparse_contacts(base, base_table, params, seed=61)
+    state, table, id_d = add_scale_repeats(base, base_table, (17, 80, 140))
+    assert table.has_repeats
+    runner = ScaleRunner(table, sobs, params, id_d=id_d)
+    mesh = make_mesh(n_chains=1, n_rows=8)
+    sharded = make_sharded_sparse_anchor(mesh, table, sobs, runner.w)
+    local = jax.jit(sparse_mod.make_sparse_loglik(table, sobs, runner.w))
+
+    shuf = shuffle_genome(state, 8, seed=62)
+    deact = shuf._replace(activ=shuf.activ.at[state.n_frags - 1].set(0))
+    for st in (state, shuf, deact):
+        sb = jax.tree.map(lambda x: jnp.asarray(x)[None], st)
+        pb = jax.tree.map(lambda x: jnp.asarray(x)[None], params)
+        got = float(sharded(GenomeState(*sb), type(params)(*pb))[0])
+        want = float(local(st, params))
+        np.testing.assert_allclose(got, want, rtol=1e-5, atol=0.5)

@@ -55,6 +55,7 @@ def test_tempered_run_single_device(problem):
     assert pt["trace"].shape == (5, 3)
 
 
+@pytest.mark.slow
 def test_tempered_run_on_mesh(problem):
     state, table, params, obs = problem
     n = state.n_frags
@@ -109,6 +110,7 @@ def test_pt_swap_is_metropolis():
     assert n_acc == 0   # e^-25 ~ 1e-11
 
 
+@pytest.mark.slow
 def test_cold_chain_beats_single_chain_on_rugged_problem():
     """The point of tempering: on a landscape where greedy T=1 sampling
     stalls, the tempered cold chain must reach a likelihood at least as
