@@ -223,8 +223,12 @@ def scale_secondary(n_bins=20_000, f_max=512, n_steps=192):
     cur, l_new, _ = cycle(shuf, sub, params, order, l_t, jnp.float32(1.0))
     jax.block_until_ready(cur)
     dt = time.perf_counter() - t0
+    # Purely relative drift bound (round-4 review stretch item): with the
+    # Kahan-compensated cycle carry the observed drift is 0-1 ulp of |L|
+    # (measured 0.0 over a 256-step chunk at 20k bins); the bound is a few
+    # ulps so a scorer regression surfaces as a number, not a loose floor.
     drift = abs(float(l_new) - float(anchor(cur, params)))
-    assert drift < max(2.0, 1e-5 * abs(float(l_new))), \
+    assert drift < 4e-6 * abs(float(l_new)), \
         f"chr1 incremental likelihood drifted {drift}"
     return {
         "chr1_evals_per_s": round(n_steps * 13 * 5 / dt, 1),
