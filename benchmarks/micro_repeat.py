@@ -74,9 +74,20 @@ def main(n=20000, f_max=1024, n_dups=200, steps=64):
 
     import graal_tpu.core.delta as delta_mod
 
-    for name, make in (("v1", dr.make_repeat_delta_scorer),
-                       ("v2", dr.make_repeat_delta_scorer_v2)):
-        dscore = make(table, f_max, sobs)
+    variants = [
+        ("v1", lambda: dr.make_repeat_delta_scorer(table, f_max, sobs)),
+        ("v2", lambda: dr.make_repeat_delta_scorer_v2(table, f_max, sobs)),
+        ("v2_nocorr", lambda: dr.make_repeat_delta_scorer_v2(
+            table, f_max, sobs, _ablate="corr")),
+        ("v2_nopart4", lambda: dr.make_repeat_delta_scorer_v2(
+            table, f_max, sobs, _ablate="part4")),
+        ("v2_nomixed", lambda: dr.make_repeat_delta_scorer_v2(
+            table, f_max, sobs, _ablate="mixed")),
+    ]
+    if os.environ.get("MICRO_REPEAT_V2_ONLY"):
+        variants = [v for v in variants if v[0] != "v1"]
+    for name, make in variants:
+        dscore = make()
         # time through the shipped cycle by routing the step factory to the
         # prebuilt scorer
         orig = dr.make_repeat_delta_scorer_v2

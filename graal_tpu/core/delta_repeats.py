@@ -475,9 +475,14 @@ def split_observed_for_repeats(table: SubFragTable, sobs):
 
 def make_repeat_delta_scorer_v2(table: SubFragTable, f_max: int, sobs,
                                 candidate_batch: str = "vmap",
-                                catalogue=None):
+                                catalogue=None,
+                                _ablate: str | None = None):
     """Hybrid repeat-aware delta scorer (see the section comment above).
-    Same contract as :func:`make_repeat_delta_scorer` (the v1 oracle)."""
+    Same contract as :func:`make_repeat_delta_scorer` (the v1 oracle).
+
+    ``_ablate``: benchmark-only kill switches (benchmarks/micro_repeat.py)
+    — 'corr' drops every correction term (part 1 only), 'part4' / 'mixed'
+    / 'dd' drop one term. NEVER set in product paths."""
     from graal_tpu.core.delta import extract_rows, make_delta_scorer
 
     if catalogue is None:
@@ -581,6 +586,8 @@ def make_repeat_delta_scorer_v2(table: SubFragTable, f_max: int, sobs,
         dll1, cands, rows, valid, overflow = plain.spec(
             state, f_a, f_b, params, max_id, with_circ,
             rows=rows, valid=valid, overflow=overflow)
+        if _ablate == "corr":
+            return dll1, cands, rows, valid, overflow
 
         subs, sub_valid, owner_slot = sub_rows_of(rows, valid)
         subs_c = jnp.clip(subs, 0, k_subs - 1)
@@ -722,18 +729,21 @@ def make_repeat_delta_scorer_v2(table: SubFragTable, f_max: int, sobs,
             g = mini_geometry(cand, subs_c, sub_valid, owner_slot)
             a_vec = g["a"]
             # --- mixed obs: E_data = in-D copy pairs + frozen trans ----
-            gv_in = pick(g, v_mini)                  # (R, capm, c) routed
-            gu = {k: x[:, None, None] for k, x in g.items()}
-            e_in = jnp.sum(pair_e(gu, gv_in, v_in_ok, params, with_circ),
-                           axis=2)                             # (R, capm)
-            e_mix = e_in + params.v_inter / nfpb \
-                * a_vec[:, None] * a_out_t
-            term = ob_m * jnp.log(jnp.where(e_mix > 0.0, e_mix, 1.0)) \
-                - lf_m
-            obs_mixed = jnp.sum(
-                jnp.where(mwin_valid & (e_mix > 0.0), term, 0.0))
+            if _ablate != "mixed":
+                gv_in = pick(g, v_mini)              # (R, capm, c) routed
+                gu = {k: x[:, None, None] for k, x in g.items()}
+                e_in = jnp.sum(pair_e(gu, gv_in, v_in_ok, params,
+                                      with_circ), axis=2)      # (R, capm)
+                e_mix = e_in + params.v_inter / nfpb \
+                    * a_vec[:, None] * a_out_t
+                term = ob_m * jnp.log(jnp.where(e_mix > 0.0, e_mix, 1.0)) \
+                    - lf_m
+                obs_mixed = jnp.sum(
+                    jnp.where(mwin_valid & (e_mix > 0.0), term, 0.0))
+            else:
+                obs_mixed = jnp.float32(0.0)
             # --- multi-multi obs ---------------------------------------
-            if n_dd:
+            if n_dd and _ablate != "dd":
                 gu_in = pick(g, ddu_mini)                      # (ndd, c)
                 gv_in2 = pick(g, ddv_mini)
                 ii_ok = (ddu_ok & ddu_in)[:, :, None] \
@@ -754,11 +764,15 @@ def make_repeat_delta_scorer_v2(table: SubFragTable, f_max: int, sobs,
             else:
                 obs_dd = jnp.float32(0.0)
             # --- part 4: frozen single-copy partners of dup rows -------
-            a_in_d = jnp.sum(jnp.where(sb_in & sb_ok,
-                                       a_vec[sb_mini], 0.0), axis=1)  # (R,)
-            e4 = c_frozen4 + coef4 * a_in_d[:, None]
-            term4 = ob4 * jnp.log(jnp.where(e4 > 0.0, e4, 1.0)) - lf4
-            obs4 = jnp.sum(jnp.where(valid4 & (e4 > 0.0), term4, 0.0))
+            if _ablate != "part4":
+                a_in_d = jnp.sum(jnp.where(sb_in & sb_ok,
+                                           a_vec[sb_mini], 0.0),
+                                 axis=1)                       # (R,)
+                e4 = c_frozen4 + coef4 * a_in_d[:, None]
+                term4 = ob4 * jnp.log(jnp.where(e4 > 0.0, e4, 1.0)) - lf4
+                obs4 = jnp.sum(jnp.where(valid4 & (e4 > 0.0), term4, 0.0))
+            else:
+                obs4 = jnp.float32(0.0)
             # --- same-bin mass correction (subtract from part-1 mass) --
             g_sb = pick(g, sb_mini)                            # (R, c)
             e_sb = jnp.sum(pair_e({k: x[:, None] for k, x in g.items()},
