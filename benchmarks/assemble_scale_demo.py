@@ -27,7 +27,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(n_bins=20_000, n_cycles=5, steps_per_cycle=None, chrom_bins=500,
-         coverage=1.0):
+         coverage=1.0, f_t=1.0, f_max_cap=8192):
     import jax
     from graal_tpu.scale import ScaleRunner
     from graal_tpu.utils.synthetic_sparse import (make_scale_genome,
@@ -51,9 +51,15 @@ def main(n_bins=20_000, n_cycles=5, steps_per_cycle=None, chrom_bins=500,
     ll_start = float(runner.anchor_fn()(shuf, params))
 
     ckpt = f"/tmp/assemble_demo_ckpt_{n_bins}_{n_cycles}.npz"
+    # f_max_cap 8192: one (R, R) obs grid at 16384 would not fit HBM —
+    # contigs beyond ~4k subs score only against small partners (the
+    # mega x mega union overflows and is skip-counted). f_t < 1 damps the
+    # quasi-neutral chromosome-end joins that grow such contigs under
+    # thin coverage.
     final, _, m = runner.run(shuf, n_cycles=n_cycles,
                              steps_per_cycle=steps_per_cycle,
-                             f_max_min=512, seed=79, progress=True,
+                             f_max_min=512, f_max_cap=f_max_cap,
+                             f_t=f_t, seed=79, progress=True,
                              init_truth=state, checkpoint_path=ckpt,
                              resume=True, order_mode="extremity")
     gap0 = ll_true - ll_start
@@ -76,6 +82,7 @@ def main(n_bins=20_000, n_cycles=5, steps_per_cycle=None, chrom_bins=500,
         "dist_per_cycle": [round(x, 4) for x in m["dist_init_genome"]],
         "n_contigs_final": m["n_contigs"][-1],
         "coverage": coverage,
+        "f_t": f_t,
         "dist_final": round(m["dist_init_genome"][-1], 4)
         if m["dist_init_genome"] else None,
     }))
@@ -87,4 +94,5 @@ if __name__ == "__main__":
     s = int(sys.argv[3]) if len(sys.argv) > 3 else None
     cb = int(sys.argv[4]) if len(sys.argv) > 4 else 500
     cov = float(sys.argv[5]) if len(sys.argv) > 5 else 1.0
-    main(n, c, s, cb, cov)
+    ft = float(sys.argv[6]) if len(sys.argv) > 6 else 1.0
+    main(n, c, s, cb, cov, ft)

@@ -573,8 +573,20 @@ def make_repeat_delta_scorer_v2(table: SubFragTable, f_max: int, sobs,
                     stot=got[..., 4].astype(jnp.float32) / 1000.0,
                     a=jnp.where(got[..., 5] == 1, sub_accu[krows], 0.0))
 
-    def pick(g, idx):
-        return {k: x[idx] for k, x in g.items()}
+    def g_matrix(g):
+        """(R, 5) stacked geometry so routed picks are ONE gather (the
+        cost is per row fetched, not per element — five per-field gathers
+        per candidate were a measured drag). Contig ids ride as f32:
+        equality is exact below 2^24, and max_id grows by at most ~13 per
+        committed step — far below 16.7M at every target scale."""
+        return jnp.stack([g["mid"], g["idc"].astype(jnp.float32),
+                          g["circ"].astype(jnp.float32), g["stot"],
+                          g["a"]], axis=1)
+
+    def pick_mat(gm, idx):
+        got = gm[idx]                          # idx.shape + (5,)
+        return dict(mid=got[..., 0], idc=got[..., 1], circ=got[..., 2],
+                    stot=got[..., 3], a=got[..., 4])
 
     def dscore_spec(state: GenomeState, f_a, f_b, params: RippeParams,
                     max_id, with_circ: bool, rows=None, valid=None,
@@ -664,35 +676,41 @@ def make_repeat_delta_scorer_v2(table: SubFragTable, f_max: int, sobs,
         sb_use = sb_in & sb_ok & db_dup[:, None] \
             & (sb_mini > jnp.arange(r_max, dtype=jnp.int32)[:, None])
 
-        # ---- part 4: dup-row windows over FROZEN single-copy partners ----
+        # ---- part 4: dup-bin windows over FROZEN single-copy partners ----
         # An observed pair (s multi-copy with a copy in D, t single-copy
         # with its copy frozen) is enumerated from NEITHER the mixed table
         # (t not in D) nor the multi-multi list (t single) — yet its
         # E_data moves when an in-D copy of s toggles activity
         # (swap_activity): E_data = C_frozen + v_inter/nfpb * a_t *
-        # a_inD(s, cand). Read the full data-grid window of each
-        # dup-owned D row (first occurrence per bin) from the ORIGINAL
-        # symmetric sobs, mask to frozen single-copy partners.
+        # a_inD(s, cand), GEOMETRY-FREE (in-D x frozen pairs are always
+        # trans). Activity only ever changes at fA (EM catalogue op 8 is
+        # the only activity-touching mutation, and it toggles fA alone;
+        # the MH catalogue has none), so the candidate DIFFERENCE of this
+        # term is non-zero only for the bins of fA's OWN subs — the grids
+        # here are (s_max, capd), not (R, capd): the unrestricted version
+        # was the single largest stage of the repeat step (device
+        # attribution: 82 of 119 ms/step at 20k bins).
         dnnz = int(sobs.cols.shape[0])
         n_chd = (sobs.row_cap + 14) // 8
         capd = n_chd * 8
-        inv_db = jnp.full((s_dim,), -1, jnp.int32).at[
-            jnp.where(sub_valid & db_dup, db, s_dim)].set(
-            jnp.arange(r_max, dtype=jnp.int32), mode="drop")
-        first_dup = db_dup & (inv_db[jnp.clip(db, 0, s_dim - 1)]
-                              == jnp.arange(r_max, dtype=jnp.int32))
-        d_start = jnp.minimum(sobs.row_start[rcm], dnnz)
-        d_end = sobs.row_start[rcm + 1]
+        slot_a = jnp.arange(s_max, dtype=jnp.int32)
+        fa_c = jnp.clip(f_a, 0, None)
+        subs_a = jnp.clip(mt.sub_start[fa_c] + slot_a, 0, k_subs - 1)
+        suba_ok = slot_a < mt.sub_count[fa_c]
+        dba_c = jnp.clip(data_id[subs_a], 0, s_dim - 1)        # (s_max,)
+        a_dup = dup[dba_c] & suba_ok
+        d_start = jnp.minimum(sobs.row_start[dba_c], dnnz)
+        d_end = sobs.row_start[dba_c + 1]
         based = d_start >> 3
         rows_d = based[:, None] + jnp.arange(n_chd, dtype=jnp.int32)
-        pkd = sobs.packed[rows_d.reshape(-1)].reshape((r_max, n_chd, 8, 2))
+        pkd = sobs.packed[rows_d.reshape(-1)].reshape((s_max, n_chd, 8, 2))
         gidxd = rows_d[:, :, None] * 8 \
             + jnp.arange(8, dtype=jnp.int32)[None, None, :]
         dwin = ((gidxd >= d_start[:, None, None])
                 & (gidxd < d_end[:, None, None])
-                & first_dup[:, None, None]).reshape((r_max, capd))
-        pkd = pkd.reshape((r_max, capd, 2))
-        t4 = pkd[..., 0]                                       # (R, capd)
+                & a_dup[:, None, None]).reshape((s_max, capd))
+        pkd = pkd.reshape((s_max, capd, 2))
+        t4 = pkd[..., 0]                                       # (s_max, capd)
         ob4 = jnp.where(
             dwin, jax.lax.bitcast_convert_type(pkd[..., 1], jnp.float32),
             0.0)
@@ -700,15 +718,17 @@ def make_repeat_delta_scorer_v2(table: SubFragTable, f_max: int, sobs,
         t4_single = ~dup[t4c]
         t4_row = ct.copy_rows[jnp.clip(ct.copy_start[t4c], 0, k_subs - 1)]
         t4_in_d, _ = in_d_route(t4_row)
-        g_t4 = frozen_geometry(state, t4_row)                  # (R, capd)
+        g_t4 = frozen_geometry(state, t4_row)                  # (s_max, capd)
         valid4 = dwin & t4_single & ~t4_in_d
-        # C_frozen: frozen copies of db[r] x t4's frozen copy
-        g_u4 = frozen_geometry(state, sb_rows)                 # (R, c)
-        u4_ok = (sb_ok & ~sb_in)[:, None, :] & valid4[:, :, None]
+        # C_frozen: frozen copies of fA's bins x t4's frozen copy
+        ca_rows, ca_ok = copy_rows_of(dba_c, c_max)            # (s_max, c)
+        ca_in, ca_mini = in_d_route(ca_rows)
+        g_u4 = frozen_geometry(state, ca_rows)
+        u4_ok = (ca_ok & ~ca_in)[:, None, :] & valid4[:, :, None]
         c_frozen4 = jnp.sum(
             pair_e({k: x[:, None, :] for k, x in g_u4.items()},
                    {k: x[:, :, None] for k, x in g_t4.items()},
-                   u4_ok, params, with_circ), axis=2)          # (R, capd)
+                   u4_ok, params, with_circ), axis=2)          # (s_max, capd)
         coef4 = jnp.where(valid4, params.v_inter / nfpb * g_t4["a"], 0.0)
         safe_ob4 = jnp.where(ob4 > 0.0, ob4, 1.0)
         lf4_big = safe_ob4 * jnp.log(safe_ob4) - safe_ob4 \
@@ -728,9 +748,10 @@ def make_repeat_delta_scorer_v2(table: SubFragTable, f_max: int, sobs,
         def corr_terms(cand):
             g = mini_geometry(cand, subs_c, sub_valid, owner_slot)
             a_vec = g["a"]
+            gm = g_matrix(g)
             # --- mixed obs: E_data = in-D copy pairs + frozen trans ----
             if _ablate != "mixed":
-                gv_in = pick(g, v_mini)              # (R, capm, c) routed
+                gv_in = pick_mat(gm, v_mini)         # (R, capm, c) routed
                 gu = {k: x[:, None, None] for k, x in g.items()}
                 e_in = jnp.sum(pair_e(gu, gv_in, v_in_ok, params,
                                       with_circ), axis=2)      # (R, capm)
@@ -744,8 +765,8 @@ def make_repeat_delta_scorer_v2(table: SubFragTable, f_max: int, sobs,
                 obs_mixed = jnp.float32(0.0)
             # --- multi-multi obs ---------------------------------------
             if n_dd and _ablate != "dd":
-                gu_in = pick(g, ddu_mini)                      # (ndd, c)
-                gv_in2 = pick(g, ddv_mini)
+                gu_in = pick_mat(gm, ddu_mini)                 # (ndd, c)
+                gv_in2 = pick_mat(gm, ddv_mini)
                 ii_ok = (ddu_ok & ddu_in)[:, :, None] \
                     & (ddv_ok & ddv_in)[:, None, :]
                 e_ii = jnp.sum(
@@ -763,18 +784,18 @@ def make_repeat_delta_scorer_v2(table: SubFragTable, f_max: int, sobs,
                 obs_dd = jnp.sum(jnp.where(e_dd > 0.0, term_dd, 0.0))
             else:
                 obs_dd = jnp.float32(0.0)
-            # --- part 4: frozen single-copy partners of dup rows -------
+            # --- part 4: frozen single-copy partners of fA's bins ------
             if _ablate != "part4":
-                a_in_d = jnp.sum(jnp.where(sb_in & sb_ok,
-                                           a_vec[sb_mini], 0.0),
-                                 axis=1)                       # (R,)
+                a_in_d = jnp.sum(jnp.where(ca_in & ca_ok,
+                                           a_vec[ca_mini], 0.0),
+                                 axis=1)                       # (s_max,)
                 e4 = c_frozen4 + coef4 * a_in_d[:, None]
                 term4 = ob4 * jnp.log(jnp.where(e4 > 0.0, e4, 1.0)) - lf4
                 obs4 = jnp.sum(jnp.where(valid4 & (e4 > 0.0), term4, 0.0))
             else:
                 obs4 = jnp.float32(0.0)
             # --- same-bin mass correction (subtract from part-1 mass) --
-            g_sb = pick(g, sb_mini)                            # (R, c)
+            g_sb = pick_mat(gm, sb_mini)                       # (R, c)
             e_sb = jnp.sum(pair_e({k: x[:, None] for k, x in g.items()},
                                   g_sb, sb_use, params, with_circ))
             return obs_mixed + obs_dd + obs4 + e_sb, a_vec
