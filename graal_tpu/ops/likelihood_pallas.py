@@ -125,23 +125,23 @@ def _ll_kernel(ti_ref, tj_ref, mid_r, mid_c, idc_r, idc_c, circ_r, stot_r,
 
         @pl.when(jnp.logical_not(any_same))
         def _trans(c=c):
-            out_ref[0, c] += (p_ref[5] * tc_ref[t, 0] + tc_ref[t, 1]
-                              - p_ref[6] * tc_ref[t, 2])
+            out_ref[0, c] += (p_ref[0, 5] * tc_ref[t, 0] + tc_ref[t, 1]
+                              - p_ref[0, 6] * tc_ref[t, 2])
 
 
 def _tile_body(mid_r, mid_c, idc_r, idc_c, circ_r, stot_r, la_r, la_c,
                obs_tile, p_ref, out_ref, c, i, j, k_real, *,
                with_circ=True):
-    log_c1fact = p_ref[0]
-    slope = p_ref[1]
-    d = p_ref[2]
-    d_max = p_ref[3]
-    lm_over_kuhn = p_ref[4]
-    log_v = p_ref[5]
-    v_inter = p_ref[6]
-    log_norm_circ = p_ref[7]
-    log_k3fact = p_ref[8]
-    log_nfpb = p_ref[9]
+    log_c1fact = p_ref[0, 0]
+    slope = p_ref[0, 1]
+    d = p_ref[0, 2]
+    d_max = p_ref[0, 3]
+    lm_over_kuhn = p_ref[0, 4]
+    log_v = p_ref[0, 5]
+    v_inter = p_ref[0, 6]
+    log_norm_circ = p_ref[0, 7]
+    log_k3fact = p_ref[0, 8]
+    log_nfpb = p_ref[0, 9]
 
     mr = mid_r[c, :]                      # (TB,)
     mc = mid_c[c, :]
@@ -327,7 +327,7 @@ def make_pallas_scorer(table: SubFragTable, obs, interpret: bool = False):
             interpret=interpret,
         )(jnp.asarray(ti_np), jnp.asarray(tj_np),
           mid, mid, idc.astype(jnp.int32), idc.astype(jnp.int32), circ, stot,
-          la, la, obs_dev, tc_dev, pvec)
+          la, la, obs_dev, tc_dev, pvec.reshape(1, -1))
         return out[0] + jnp.float32(const)
 
     return score
@@ -468,7 +468,7 @@ def make_mini_grid_scorer(r_max: int, log_nfpb: float,
             interpret=interpret,
         )(jnp.asarray(ti_np), jnp.asarray(tj_np),
           midp, midp, idcp, idcp, circp, stotp, lap, lap, obp,
-          params_vec(params))
+          params_vec(params).reshape(1, -1))
         return out[0]
 
     return score
@@ -528,15 +528,15 @@ def _repeat_kernel(ti_ref, tj_ref, mid_r, mid_c, idc_r, idc_c, circ_r,
     i = ti_ref[t]
     j = tj_ref[t]
 
-    slope = p_ref[1]
-    d = p_ref[2]
-    d_max = p_ref[3]
-    lm_over_kuhn = p_ref[4]
-    v_inter = p_ref[6]
-    log_norm_circ = p_ref[7]
-    log_k3fact = p_ref[8]
-    log_c1fact = p_ref[0]
-    nfpb = p_ref[9]
+    slope = p_ref[0, 1]
+    d = p_ref[0, 2]
+    d_max = p_ref[0, 3]
+    lm_over_kuhn = p_ref[0, 4]
+    v_inter = p_ref[0, 6]
+    log_norm_circ = p_ref[0, 7]
+    log_k3fact = p_ref[0, 8]
+    log_c1fact = p_ref[0, 0]
+    nfpb = p_ref[0, 9]
 
     for k in range(cb):
         c = g * cb + k
@@ -574,8 +574,8 @@ def _repeat_kernel(ti_ref, tj_ref, mid_r, mid_c, idc_r, idc_c, circ_r,
                         log_val_circ = log_k3fact + slope * jnp.log(n_circ) \
                             + (d - 2.0) / (n_circ * n_circ + d)
                         log_norm_lin = jnp.where(
-                            in_range, jnp.maximum(log_lin, p_ref[5]),
-                            p_ref[5])
+                            in_range, jnp.maximum(log_lin, p_ref[0, 5]),
+                            p_ref[0, 5])
                         log_circ = log_val_circ + log_norm_lin \
                             - log_norm_circ
                         log_cis = jnp.where(circr, log_circ, log_lin)
@@ -730,7 +730,7 @@ def make_repeat_pallas_scorer(table: SubFragTable, obs,
             interpret=interpret,
         )(jnp.asarray(ti_np), jnp.asarray(tj_np),
           mid, mid, idc, idc, circ, stot, acc, acc, act, act, obs_dev,
-          lf_dev, pvec)
+          lf_dev, pvec.reshape(1, -1))
         return out[0]
 
     return score
