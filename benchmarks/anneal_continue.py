@@ -28,15 +28,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(n_bins=100_000, orig_cycles=10, chrom_bins=500,
-         ladder=(0.3, 0.3, 0.1, 0.1, 0.03, 0.03)):
+         ladder=(0.3, 0.3, 0.1, 0.1, 0.03, 0.03), coverage=1.0,
+         steps_per_cycle=None, f_max_cap=8192):
     import jax
     from graal_tpu.scale import ScaleRunner
     from graal_tpu.utils.checkpoint import load_checkpoint
     from graal_tpu.utils.synthetic_sparse import (make_scale_genome,
                                                   scale_params,
-                                                  simulate_sparse_contacts)
+                                                  simulate_sparse_contacts,
+                                                  thin_coverage)
 
     params = scale_params()
+    if coverage != 1.0:
+        params = thin_coverage(params, coverage)
     n_contigs = max(n_bins // chrom_bins, 4)
     state_true, table = make_scale_genome(n_bins, n_contigs, seed=77)
     sobs = simulate_sparse_contacts(state_true, table, params, seed=77)
@@ -55,6 +59,8 @@ def main(n_bins=100_000, orig_cycles=10, chrom_bins=500,
         ck = f"/tmp/anneal_{n_bins}_{i}.npz"
         cur, _, m = runner.run(
             cur, n_cycles=1, f_t=float(f_t), f_max_min=512,
+            f_max_cap=f_max_cap, steps_per_cycle=steps_per_cycle,
+            order_mode="extremity",
             seed=1000 + i, init_truth=state_true, progress=True,
             checkpoint_path=ck, resume=False)
         hist["f_t"].append(float(f_t))
@@ -82,4 +88,6 @@ if __name__ == "__main__":
     cb = int(a[2]) if len(a) > 2 else 500
     lad = tuple(float(x) for x in a[3].split(",")) if len(a) > 3 else \
         (0.3, 0.3, 0.1, 0.1, 0.03, 0.03)
-    main(n, c, cb, lad)
+    cov = float(a[4]) if len(a) > 4 else 1.0
+    spc = int(a[5]) if len(a) > 5 else None
+    main(n, c, cb, lad, cov, spc)
